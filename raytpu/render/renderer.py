@@ -1,0 +1,132 @@
+"""The jitted forward renderer: raygen -> closest hit -> shadow + shading -> tonemap.
+
+Replaces ``Renderer::Render`` / ``RenderPixel`` (reference:
+source/Renderer.cpp:34-182).  The per-pixel loop becomes batched array ops
+over the whole ray grid; the per-core pixel fan-out (reference:
+source/Renderer.cpp:42-92) becomes XLA vectorization on-chip plus
+``raytpu.parallel`` sharding across chips.
+
+Rays are processed in chunks (``lax.map``) sized so the (rays x primitives)
+intermediates stay comfortably in HBM/VMEM; the Pallas megakernel in
+``raytpu.render.pallas_kernel`` is the tuned fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.core import math3d
+from raytpu.core.types import LightingMode, RenderConfig, Scene
+from raytpu.ops import intersect, shading
+
+
+def generate_rays(camera, config: RenderConfig):
+    """Primary ray directions for the pixel grid.
+
+    NDC mapping (reference: source/Renderer.cpp:104-114):
+      cx = (2(px+.5)/W - 1) * aspect * fov,  cy = (1 - 2(py+.5)/H) * fov
+      dir = normalize(cx*right + cy*up + forward)
+
+    Returns ``(origin (3,), directions (H*W, 3))`` in row-major pixel order.
+    """
+    W, H = config.width, config.height
+    right, up, fwd = camera.onb()
+    px = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+    py = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    cx = (2.0 * px - 1.0) * jnp.float32(config.aspect_ratio) * camera.fov_scale  # (W,)
+    cy = (1.0 - 2.0 * py) * camera.fov_scale  # (H,)
+    d = (
+        cx[None, :, None] * right[None, None, :]
+        + cy[:, None, None] * up[None, None, :]
+        + fwd[None, None, :]
+    )  # (H,W,3)
+    d = math3d.normalize(d)
+    return camera.origin, d.reshape(-1, 3)
+
+
+def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
+    """Full per-ray pipeline for a batch of rays: closest hit, per-light shadow
+    + lighting-mode shading, shadow dimming, tone map.  Returns (N,3) f32 in
+    [0,1] (pre-quantization).  ``ro`` is (3,) or (N,3).
+    """
+    n = rd.shape[0]
+    ro = jnp.broadcast_to(ro, rd.shape)
+    rec = intersect.closest_hit(scene, ro, rd, jnp.float32(config.ray_min))
+
+    # offset shading point along the normal to avoid self-shadowing
+    # (reference: source/Renderer.cpp:126)
+    p_off = rec.point + rec.normal * jnp.float32(config.normal_offset)
+
+    color = jnp.zeros((n, 3), jnp.float32)
+    shadow_factor = jnp.ones((n,), jnp.float32)
+    mode = config.lighting_mode
+
+    for li in range(scene.lights.count):
+        l, mag = shading.direction_to_light(scene.lights, li, p_off)
+        if config.shadows:
+            occluded = intersect.any_hit(scene, p_off, l, jnp.float32(config.ray_min), mag)
+            occluded = occluded & rec.hit
+        else:
+            occluded = jnp.zeros((n,), bool)
+        lit = ~occluded
+        # each occluded light dims the whole pixel (reference: source/Renderer.cpp:139)
+        shadow_factor = shadow_factor * jnp.where(occluded, jnp.float32(config.shadow_dim), 1.0)
+
+        if mode == LightingMode.COMBINED:
+            oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
+            rad = shading.radiance(scene.lights, li, rec.point)
+            brdf = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
+            contrib = oa[:, None] * rad * brdf
+        elif mode == LightingMode.OBSERVED_AREA:
+            oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
+            contrib = jnp.broadcast_to(oa[:, None], (n, 3))
+        elif mode == LightingMode.RADIANCE:
+            contrib = shading.radiance(scene.lights, li, rec.point)
+        else:  # BRDF
+            contrib = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
+        color = color + jnp.where(lit[:, None], contrib, 0.0)
+
+    color = color * shadow_factor[:, None]
+    color = jnp.where(rec.hit[:, None], color, 0.0)
+    return math3d.max_to_one(color)
+
+
+def _auto_chunk(num_rays: int, num_prims: int) -> int:
+    """Ray-chunk size keeping the (rays x prims) t-matrix ~<=32M elements."""
+    target = max(1024, (1 << 25) // max(num_prims, 1))
+    chunk = 1024
+    while chunk * 2 <= min(target, num_rays):
+        chunk *= 2
+    return chunk
+
+
+def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig):
+    """Chunked shade_rays over an arbitrary flat ray batch."""
+    n = rd.shape[0]
+    nprim = max(scene.num_primitives, 1)
+    chunk = config.ray_chunk or _auto_chunk(n, nprim)
+    if n <= chunk:
+        return shade_rays(scene, ro, rd, config)
+    pad = (-n) % chunk
+    rd_p = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0).reshape(-1, chunk, 3)
+    body = lambda rds: shade_rays(scene, ro, rds, config)
+    out = jax.lax.map(body, rd_p).reshape(-1, 3)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_image_f32(scene: Scene, config: RenderConfig):
+    """(H, W, 3) float32 tone-mapped image in [0,1]."""
+    ro, rd = generate_rays(scene.camera, config)
+    colors = render_pixels_f32(scene, ro, rd, config)
+    return colors.reshape(config.height, config.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_image(scene: Scene, config: RenderConfig):
+    """(H, W, 3) uint8 image — truncating quantization like the reference's
+    ``static_cast<uint8_t>(c*255)`` (reference: source/Renderer.cpp:178-181)."""
+    return math3d.quantize_u8(render_image_f32(scene, config))
