@@ -194,6 +194,14 @@ class Meshes:
         )
         return dataclasses.replace(self, rotation=rot)
 
+    def with_positions(self, positions) -> "Meshes":
+        """Replace the vertex pool and recompute object-space per-face normals
+        (``normalize(cross(v1-v0, v2-v0))``, reference: source/DataTypes.h:191-208).
+        Needed when vertices are optimized (inverse rendering)."""
+        v = positions[self.face_vertex]
+        n = math3d.normalize_safe(jnp.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+        return dataclasses.replace(self, positions=positions, face_normal=n)
+
     def world_triangles(self) -> Triangles:
         """Batched equivalent of UpdateTransforms: positions through ``S·R·T``
         (scale, then rotate, then translate — row-vector order), face normals

@@ -1,0 +1,105 @@
+"""Differentiable rendering and inverse-rendering optimization.
+
+The reference renderer is a pure forward program; this module layers
+differentiability on top (SURVEY.md §7.4): the f32 forward pass is
+differentiable almost everywhere w.r.t. material, light, and geometry
+parameters (intersection ops are double-where guarded so VJPs are NaN-free),
+and ``soft_shadows`` swaps the binary visibility for a sigmoid transmittance
+so shadow boundaries carry gradients too.
+
+``make_train_step`` builds the flagship optimization loop: fit scene
+parameters to a target image by gradient descent — the framework's "training
+step" (optimizer state is an optax pytree; see raytpu.parallel for the
+sharded multi-chip version).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.core.types import RenderConfig, Scene
+from raytpu.render.renderer import render_image_f32
+
+
+def render_soft(scene: Scene, config: RenderConfig):
+    """f32 render with soft (differentiable) shadow visibility."""
+    cfg = dataclasses.replace(config, soft_shadows=True)
+    return render_image_f32(scene, cfg)
+
+
+def image_loss(scene: Scene, target, config: RenderConfig):
+    """Mean squared error against a target f32 image."""
+    img = render_soft(scene, config)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_train_step(config: RenderConfig, optimizer, param_fn: Callable[[Scene], dict], merge_fn):
+    """Build a jitted inverse-rendering step.
+
+    Args:
+      optimizer: an optax GradientTransformation.
+      param_fn: scene -> pytree of the parameters being optimized.
+      merge_fn: (scene, params) -> scene with parameters substituted.
+    Returns ``step(params, opt_state, scene, target) -> (params, opt_state, loss)``.
+    """
+
+    def loss_fn(params, scene, target):
+        return image_loss(merge_fn(scene, params), target, config)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, scene, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+# -- convenient param selections for inverse rendering ----------------------
+
+
+def material_params(scene: Scene) -> dict:
+    return {"color": scene.materials.color, "params": scene.materials.params}
+
+
+def merge_material_params(scene: Scene, p: dict) -> Scene:
+    mats = dataclasses.replace(scene.materials, color=p["color"], params=p["params"])
+    return dataclasses.replace(scene, materials=mats)
+
+
+def light_params(scene: Scene) -> dict:
+    return {
+        "position": scene.lights.position,
+        "color": scene.lights.color,
+        "intensity": scene.lights.intensity,
+    }
+
+
+def merge_light_params(scene: Scene, p: dict) -> Scene:
+    lights = dataclasses.replace(
+        scene.lights, position=p["position"], color=p["color"], intensity=p["intensity"]
+    )
+    return dataclasses.replace(scene, lights=lights)
+
+
+def geometry_params(scene: Scene) -> dict:
+    return {
+        "sphere_center": scene.spheres.center,
+        "sphere_radius": scene.spheres.radius,
+        "mesh_positions": scene.meshes.positions,
+        "mesh_translation": scene.meshes.translation,
+    }
+
+
+def merge_geometry_params(scene: Scene, p: dict) -> Scene:
+    spheres = dataclasses.replace(scene.spheres, center=p["sphere_center"], radius=p["sphere_radius"])
+    meshes = dataclasses.replace(scene.meshes, translation=p["mesh_translation"])
+    meshes = meshes.with_positions(p["mesh_positions"])  # also refreshes face normals
+    scene = dataclasses.replace(scene, spheres=spheres)
+    return scene.with_meshes(meshes)

@@ -46,7 +46,10 @@ def sphere_t(center, radius, ro, rd, tmin, tmax):
     perp2 = L2 - proj * proj
     r2 = (radius * radius)[None, :]
     inside = r2 >= perp2
-    t = proj - jnp.sqrt(jnp.maximum(r2 - perp2, 0.0))
+    # double-where keeps sqrt's VJP finite on miss lanes without changing
+    # any valid lane's forward value
+    disc = jnp.where(inside, r2 - perp2, 1.0)
+    t = proj - jnp.sqrt(disc)
     valid = inside & (t >= tmin) & (t <= tmax)
     return jnp.where(valid, t, INF)
 
@@ -56,8 +59,9 @@ def plane_t(origin, normal, ro, rd, tmin, tmax):
     (reference: source/Utils.h:82-98)."""
     denom = _dot(rd[:, None, :], normal[None, :, :])
     num = _dot(origin[None, :, :] - ro[:, None, :], normal[None, :, :])
-    t = num / denom  # IEEE inf/nan on parallel rays fail the range test below
-    valid = (t >= tmin) & (t < tmax)
+    denom_nz = denom != 0.0  # exactly-parallel rays miss (reference: inf fails the range test)
+    t = num / jnp.where(denom_nz, denom, 1.0)
+    valid = denom_nz & (t >= tmin) & (t < tmax)
     return jnp.where(valid, t, INF)
 
 
@@ -83,7 +87,7 @@ def triangle_t(v0, v1, v2, normal, cull, ro, rd, tmin, tmax, shadow_pass: bool):
     h = jnp.cross(rdn, e2[None, :, :])  # (R,T,3)
     a = _dot(e1[None, :, :], h)
     det_ok = jnp.abs(a) >= FLT_EPSILON
-    inv_a = 1.0 / a
+    inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
     s = ro[:, None, :] - v0[None, :, :]  # (R,T,3)
     u = inv_a * _dot(s, h)
     q = jnp.cross(s, e1[None, :, :])
@@ -160,6 +164,69 @@ def closest_hit(scene: Scene, ro, rd, tmin) -> HitRecords:
         normal = jnp.where(in_t[:, None], scene.triangles.normal[ti], normal)
         material = jnp.where(in_t, scene.triangles.material[ti], material)
     return HitRecords(hit=hit, t=jnp.where(hit, t, INF), point=point, normal=normal, material=material)
+
+
+def soft_transmittance(scene: Scene, ro, rd, tmin, tmax, beta):
+    """Differentiable visibility in [0, 1] for shadow rays.
+
+    Replaces the binary ``DoesHit`` occlusion with a product over primitives
+    of ``1 - occlusion_p``, where each occlusion is a sigmoid of a signed
+    penetration margin (how solidly the shadow ray passes through the
+    primitive).  Converges to ``1 - any_hit`` as ``beta -> inf``; gives the
+    pixel gradients w.r.t. geometry/light positions that the hard visibility
+    term zeroes out (SURVEY.md §7 "differentiability layered on").
+
+    ``tmax`` is per-ray (R,).  Returns (R,) transmittance.
+    """
+    trans = jnp.ones(ro.shape[0], ro.dtype)
+    tmax_b = tmax[:, None]
+
+    if scene.spheres.count:
+        c, r = scene.spheres.center, scene.spheres.radius
+        L = c[None, :, :] - ro[:, None, :]
+        proj = _dot(rd[:, None, :], L)
+        perp2 = _dot(L, L) - proj * proj
+        r2 = (r * r)[None, :]
+        margin = (r2 - perp2) / r2  # >0 when the ray core passes inside
+        inside = margin > 0.0
+        t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
+        gate = inside & (t >= tmin) & (t <= tmax_b)
+        occ = jax.nn.sigmoid(beta * margin) * gate
+        trans = trans * jnp.prod(1.0 - occ, axis=1)
+
+    if scene.planes.count:
+        # planes are half-space boundaries: occlusion is inherently binary
+        tm = plane_t(scene.planes.origin, scene.planes.normal, ro, rd, tmin, tmax_b)
+        occ = jnp.isfinite(tm).astype(trans.dtype)
+        trans = trans * jnp.prod(1.0 - occ, axis=1)
+
+    if scene.triangles.count:
+        tr = scene.triangles
+        rdn = rd[:, None, :]
+        cull_dot = _dot(tr.normal[None, :, :], rdn)
+        not_parallel = jnp.abs(cull_dot) >= FLT_EPSILON
+        cull_eff = jnp.where(tr.cull == 2, 2, 1 - tr.cull)  # shadow pass inverts
+        culled = ((cull_eff == 0)[None, :] & (cull_dot < 0)) | (
+            (cull_eff == 1)[None, :] & (cull_dot > 0)
+        )
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+        h = jnp.cross(rdn, e2[None, :, :])
+        a = _dot(e1[None, :, :], h)
+        det_ok = jnp.abs(a) >= FLT_EPSILON
+        inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+        s = ro[:, None, :] - tr.v0[None, :, :]
+        u = inv_a * _dot(s, h)
+        q = jnp.cross(s, e1[None, :, :])
+        v = inv_a * _dot(rdn, q)
+        t = inv_a * _dot(e2[None, :, :], q)
+        # signed distance to the triangle boundary in barycentric coords
+        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        gate = not_parallel & ~culled & det_ok & (t >= tmin) & (t < tmax_b)
+        occ = jax.nn.sigmoid(beta * margin) * gate
+        trans = trans * jnp.prod(1.0 - occ, axis=1)
+
+    return trans
 
 
 def any_hit(scene: Scene, ro, rd, tmin, tmax):

@@ -66,14 +66,25 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
 
     for li in range(scene.lights.count):
         l, mag = shading.direction_to_light(scene.lights, li, p_off)
-        if config.shadows:
+        if config.shadows and config.soft_shadows:
+            # differentiable transmittance in [0,1]; hard limit as beta->inf
+            trans = intersect.soft_transmittance(
+                scene, p_off, l, jnp.float32(config.ray_min), mag, jnp.float32(config.soft_beta)
+            )
+            trans = jnp.where(rec.hit, trans, 1.0)
+        elif config.shadows:
             occluded = intersect.any_hit(scene, p_off, l, jnp.float32(config.ray_min), mag)
-            occluded = occluded & rec.hit
+            trans = jnp.where(occluded & rec.hit, 0.0, 1.0)
         else:
-            occluded = jnp.zeros((n,), bool)
-        lit = ~occluded
-        # each occluded light dims the whole pixel (reference: source/Renderer.cpp:139)
-        shadow_factor = shadow_factor * jnp.where(occluded, jnp.float32(config.shadow_dim), 1.0)
+            trans = jnp.ones((n,), jnp.float32)
+        # each occluded light dims the whole pixel (reference: source/Renderer.cpp:139);
+        # the soft form interpolates: factor = dim + (1-dim)*transmittance
+        if config.shadows and config.soft_shadows:
+            factor = jnp.float32(config.shadow_dim) + (1.0 - jnp.float32(config.shadow_dim)) * trans
+        else:
+            # exact 1.0/dim factors preserve bit-parity with the reference
+            factor = jnp.where(trans == 0.0, jnp.float32(config.shadow_dim), 1.0)
+        shadow_factor = shadow_factor * factor
 
         if mode == LightingMode.COMBINED:
             oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
@@ -87,7 +98,7 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
             contrib = shading.radiance(scene.lights, li, rec.point)
         else:  # BRDF
             contrib = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
-        color = color + jnp.where(lit[:, None], contrib, 0.0)
+        color = color + contrib * trans[:, None]
 
     color = color * shadow_factor[:, None]
     color = jnp.where(rec.hit[:, None], color, 0.0)

@@ -1,14 +1,16 @@
 """Test configuration: all tests run on a virtual 8-device CPU mesh so
 sharding tests work without TPU hardware (the bench path runs on the real
-chip outside pytest)."""
+chip outside pytest).
 
-import os
+NOTE: the host sitecustomize pre-imports jax and pins JAX_PLATFORMS to the
+TPU tunnel, so env vars are captured before conftest runs — only
+jax.config.update (which wins over the captured env) reliably forces CPU.
+"""
 
-# hard-assign: the host environment pins JAX_PLATFORMS to the TPU tunnel
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
