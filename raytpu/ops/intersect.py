@@ -26,6 +26,7 @@ from raytpu.core.types import Scene
 
 FLT_EPSILON = 1.1920929e-07
 INF = jnp.inf
+_OCC_MAX = 1.0 - 1e-6  # keep soft-occlusion factors away from exactly 1
 
 
 def _dot(a, b):
@@ -138,6 +139,12 @@ def closest_hit(scene: Scene, ro, rd, tmin) -> HitRecords:
     tmat = scene_t_matrix(scene, ro, rd, tmin, INF, shadow_pass=False)
     idx = jnp.argmin(tmat, axis=1)  # first minimum wins ties
     t = jnp.take_along_axis(tmat, idx[:, None], axis=1)[:, 0]
+    return assemble_hit_records(scene, ro, rd, t, idx)
+
+
+def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
+    """Build HitRecords from a per-ray winning (t, global primitive index)
+    where the index runs over the sphere→plane→triangle concatenation."""
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     point = ro + t_safe[:, None] * rd
@@ -177,6 +184,9 @@ def soft_transmittance(scene: Scene, ro, rd, tmin, tmax, beta):
     term zeroes out (SURVEY.md §7 "differentiability layered on").
 
     ``tmax`` is per-ray (R,).  Returns (R,) transmittance.
+
+    Occlusions are clamped strictly below 1: jnp.prod's VJP divides by its
+    factors, so an exactly-zero (1 - occ) factor would NaN the gradient.
     """
     trans = jnp.ones(ro.shape[0], ro.dtype)
     tmax_b = tmax[:, None]
@@ -191,13 +201,13 @@ def soft_transmittance(scene: Scene, ro, rd, tmin, tmax, beta):
         inside = margin > 0.0
         t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
         gate = inside & (t >= tmin) & (t <= tmax_b)
-        occ = jax.nn.sigmoid(beta * margin) * gate
+        occ = jnp.minimum(jax.nn.sigmoid(beta * margin), _OCC_MAX) * gate
         trans = trans * jnp.prod(1.0 - occ, axis=1)
 
     if scene.planes.count:
         # planes are half-space boundaries: occlusion is inherently binary
         tm = plane_t(scene.planes.origin, scene.planes.normal, ro, rd, tmin, tmax_b)
-        occ = jnp.isfinite(tm).astype(trans.dtype)
+        occ = jnp.isfinite(tm).astype(trans.dtype) * _OCC_MAX
         trans = trans * jnp.prod(1.0 - occ, axis=1)
 
     if scene.triangles.count:
@@ -223,7 +233,7 @@ def soft_transmittance(scene: Scene, ro, rd, tmin, tmax, beta):
         # signed distance to the triangle boundary in barycentric coords
         margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
         gate = not_parallel & ~culled & det_ok & (t >= tmin) & (t < tmax_b)
-        occ = jax.nn.sigmoid(beta * margin) * gate
+        occ = jnp.minimum(jax.nn.sigmoid(beta * margin), _OCC_MAX) * gate
         trans = trans * jnp.prod(1.0 - occ, axis=1)
 
     return trans

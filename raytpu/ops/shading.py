@@ -35,10 +35,22 @@ def lambert(kd, cd):
 
 def phong(ks, exp, l, v, n):
     """White specular lobe with the reference's clamped reflect
-    (reference: source/BRDFs.h:33-40)."""
+    (reference: source/BRDFs.h:33-40).
+
+    ``cosa^exp`` is double-where guarded: at cosa==0 the power VJP is
+    ``exp * cosa^(exp-1)`` which is 0*inf=NaN whenever exp<1 (e.g. the
+    padded exp=0 rows of non-Phong materials in the dispatch table).
+    Forward values match powf: pow(0, 0)=1, pow(0, e>0)=0.
+    """
     refl = math3d.reflect(l, n)
     cosa = jnp.maximum(_dot(refl, v), 0.0)
-    return (ks * jnp.power(cosa, exp))[..., None] * jnp.ones(3, cosa.dtype)
+    pos = cosa > 0.0
+    powv = jnp.where(
+        pos,
+        jnp.power(jnp.where(pos, cosa, 1.0), exp),
+        jnp.where(exp == 0.0, 1.0, 0.0),
+    )
+    return (ks * powv)[..., None] * jnp.ones(3, cosa.dtype)
 
 
 def fresnel_schlick(h, v, f0):

@@ -1,0 +1,706 @@
+"""Fused Pallas TPU kernels for the hot loop: batched ray-primitive
+min-t reduction.
+
+The O(rays x primitives) intersection sweep is the frame's entire FLOP
+budget (SURVEY.md §3.1); everything else is O(rays).  The jnp path
+materializes (R, P) t-matrices and (R, P, 3) cross-product intermediates in
+HBM; these kernels keep them in VMEM registers and emit only the O(R)
+winning (t, index) pair per ray.
+
+Layout: a 2D grid over (ray tiles x primitive chunks).
+  * rays ride the sublane axis: a tile is RT=128 rays, with each packed ray
+    component sliced as a (128, 1) column;
+  * primitives ride the lane axis: a chunk is CT=128 primitives, each
+    component a (1, 128) row of the transposed primitive tensor;
+  * each grid step evaluates a full (128 rays x 128 prims) test in registers
+    and folds it into per-ray (min-t, argmin) accumulators, revisited across
+    the chunk axis of the grid (TPU grids iterate sequentially).
+
+First-minimum tie-breaks (the reference's iteration-order semantics) are
+preserved: within a chunk the lowest lane index wins; across chunks the
+strictly-smaller-t update keeps the earliest chunk.
+
+Packing (host-side, cached per scene):
+  rays   (R, 8)  f32: [rox roy roz rdx rdy rdz tmax pad]
+  sphere (8, S)  f32: [cx cy cz r2 material ...]
+  plane  (8, P)  f32: [nx ny nz d=dot(po,n) material ...]
+  tri    (16, T) f32: [v0(3) e1(3) e2(3) n(3) cull material ...]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.core import math3d
+from raytpu.core.types import RenderConfig, Scene
+from raytpu.ops import intersect
+from raytpu.render import renderer as _renderer
+
+RT = 128  # rays per tile (sublanes)
+CT = 128  # primitives per chunk (lanes)
+FLT_EPSILON = 1.1920929e-07
+INF = float("inf")
+BIG_I = 2**30
+
+_interpret = False  # flipped on CPU for tests
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_axis(x, axis, multiple, value):
+    pad = (-x.shape[axis]) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies.  Shared structure: compute the (RT, CT) t-matrix for this
+# (ray tile, prim chunk), then fold (min-t, first-argmin) into the outputs.
+# ---------------------------------------------------------------------------
+
+
+def _fold_min(t, t_ref, idx_ref):
+    """Fold a (RT, CT) masked t-matrix into the per-ray accumulators."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[:] = jnp.full((RT, 1), INF, jnp.float32)
+        idx_ref[:] = jnp.full((RT, 1), BIG_I, jnp.int32)
+
+    t_min = jnp.min(t, axis=1, keepdims=True)  # (RT,1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CT), 1)
+    first = jnp.min(jnp.where(t == t_min, lane, BIG_I), axis=1, keepdims=True)
+    gidx = first + j * CT
+    better = t_min < t_ref[:]
+    idx_ref[:] = jnp.where(better, gidx, idx_ref[:])
+    t_ref[:] = jnp.where(better, t_min, t_ref[:])
+
+
+def _ray_cols(rays_ref):
+    r = rays_ref[:]  # (RT, 8)
+    cols = [r[:, i : i + 1] for i in range(7)]
+    return cols  # rox roy roz rdx rdy rdz tmax
+
+
+def _sphere_kernel(tmin, rays_ref, sph_ref, t_ref, idx_ref):
+    """Geometric sphere test, near root only (reference: source/Utils.h:52-71)."""
+    rox, roy, roz, rdx, rdy, rdz, tmax = _ray_cols(rays_ref)
+    s = sph_ref[:]  # (8, CT)
+    cx, cy, cz, r2 = (s[i : i + 1, :] for i in range(4))
+    lx = cx - rox
+    ly = cy - roy
+    lz = cz - roz
+    l2 = lx * lx + ly * ly + lz * lz
+    proj = rdx * lx + rdy * ly + rdz * lz
+    perp2 = l2 - proj * proj
+    inside = r2 >= perp2
+    t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
+    valid = inside & (t >= tmin) & (t <= tmax)
+    _fold_min(jnp.where(valid, t, INF), t_ref, idx_ref)
+
+
+def _plane_kernel(tmin, rays_ref, pl_ref, t_ref, idx_ref):
+    """t = (d - ro.n) / rd.n, valid on [tmin, tmax)
+    (reference: source/Utils.h:82-98)."""
+    rox, roy, roz, rdx, rdy, rdz, tmax = _ray_cols(rays_ref)
+    p = pl_ref[:]
+    nx, ny, nz, d = (p[i : i + 1, :] for i in range(4))
+    denom = rdx * nx + rdy * ny + rdz * nz
+    num = d - (rox * nx + roy * ny + roz * nz)
+    denom_nz = denom != 0.0
+    t = num / jnp.where(denom_nz, denom, 1.0)
+    valid = denom_nz & (t >= tmin) & (t < tmax)
+    _fold_min(jnp.where(valid, t, INF), t_ref, idx_ref)
+
+
+def _triangle_kernel(tmin, shadow_pass, rays_ref, tri_ref, t_ref, idx_ref):
+    """Möller–Trumbore with per-triangle cull modes; shadow rays swap
+    front/back culling (reference: source/Utils.h:109-184)."""
+    rox, roy, roz, rdx, rdy, rdz, tmax = _ray_cols(rays_ref)
+    tr = tri_ref[:]  # (16, CT)
+    v0x, v0y, v0z = (tr[i : i + 1, :] for i in range(3))
+    e1x, e1y, e1z = (tr[i : i + 1, :] for i in range(3, 6))
+    e2x, e2y, e2z = (tr[i : i + 1, :] for i in range(6, 9))
+    nx, ny, nz = (tr[i : i + 1, :] for i in range(9, 12))
+    cull = tr[12:13, :]  # 0=front-cull 1=back-cull 2=none (as f32)
+
+    cull_dot = nx * rdx + ny * rdy + nz * rdz  # (RT, CT)
+    not_parallel = jnp.abs(cull_dot) >= FLT_EPSILON
+    if shadow_pass:
+        cull_eff = jnp.where(cull == 2.0, 2.0, 1.0 - cull)
+    else:
+        cull_eff = cull
+    culled = ((cull_eff == 0.0) & (cull_dot < 0.0)) | ((cull_eff == 1.0) & (cull_dot > 0.0))
+
+    hx = rdy * e2z - rdz * e2y
+    hy = rdz * e2x - rdx * e2z
+    hz = rdx * e2y - rdy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    det_ok = jnp.abs(a) >= FLT_EPSILON
+    inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+    sx = rox - v0x
+    sy = roy - v0y
+    sz = roz - v0z
+    u = inv_a * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv_a * (rdx * qx + rdy * qy + rdz * qz)
+    t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
+    bary_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    valid = not_parallel & ~culled & det_ok & bary_ok & (t >= tmin) & (t < tmax)
+    _fold_min(jnp.where(valid, t, INF), t_ref, idx_ref)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _min_t_call(kernel, rays, prims, prim_rows):
+    """Run a min-t kernel over (ray tiles x prim chunks).
+
+    rays: (R, 8) f32 (R a multiple of RT); prims: (prim_rows, P) f32
+    (P a multiple of CT).  Returns t (R,), idx (R,) i32.
+    """
+    R = rays.shape[0]
+    P = prims.shape[1]
+    grid = (R // RT, P // CT)
+    interpret = _interpret or jax.default_backend() == "cpu"
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((prim_rows, CT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RT, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, prims)
+    return t[:, 0], idx[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing (cached per scene geometry id)
+# ---------------------------------------------------------------------------
+
+
+def pack_rays(ro, rd, tmax):
+    """(R,8): [ro, rd, tmax, 0], R padded to RT with miss rays."""
+    R = rd.shape[0]
+    ro = jnp.broadcast_to(ro, rd.shape)
+    tmax = jnp.broadcast_to(tmax, (R,))
+    rays = jnp.concatenate(
+        [ro, rd, tmax[:, None], jnp.zeros((R, 1), jnp.float32)], axis=1
+    )
+    return _pad_axis(rays, 0, RT, 0.0)  # padded rays: rd=0 -> all tests miss
+
+
+def pack_spheres(spheres):
+    s = jnp.stack(
+        [
+            spheres.center[:, 0],
+            spheres.center[:, 1],
+            spheres.center[:, 2],
+            spheres.radius * spheres.radius,
+        ]
+    )  # (4, S)
+    s = jnp.concatenate([s, jnp.zeros((4, s.shape[1]), jnp.float32)], axis=0)
+    return _pad_axis(s, 1, CT, -1.0)  # padded r2 = -1 < perp2 -> miss
+
+
+def pack_planes(planes):
+    d = jnp.sum(planes.origin * planes.normal, axis=1)
+    p = jnp.stack([planes.normal[:, 0], planes.normal[:, 1], planes.normal[:, 2], d])
+    p = jnp.concatenate([p, jnp.zeros((4, p.shape[1]), jnp.float32)], axis=0)
+    return _pad_axis(p, 1, CT, 0.0)  # padded normal 0 -> denom 0 -> miss
+
+
+def pack_triangles(tris):
+    e1 = tris.v1 - tris.v0
+    e2 = tris.v2 - tris.v0
+    rows = [
+        tris.v0[:, 0], tris.v0[:, 1], tris.v0[:, 2],
+        e1[:, 0], e1[:, 1], e1[:, 2],
+        e2[:, 0], e2[:, 1], e2[:, 2],
+        tris.normal[:, 0], tris.normal[:, 1], tris.normal[:, 2],
+        tris.cull.astype(jnp.float32),
+    ]
+    t = jnp.stack(rows)  # (13, T)
+    t = jnp.concatenate([t, jnp.zeros((3, t.shape[1]), jnp.float32)], axis=0)
+    return _pad_axis(t, 1, CT, 0.0)  # degenerate zero triangles miss
+
+
+# ---------------------------------------------------------------------------
+# Scene-level queries mirroring raytpu.ops.intersect
+# ---------------------------------------------------------------------------
+
+
+def closest_hit_pallas(scene: Scene, ro, rd, tmin) -> intersect.HitRecords:
+    R = rd.shape[0]
+    rays = pack_rays(ro, rd, INF)
+    tmin = float(tmin)  # static: becomes a kernel literal
+
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    cands = []  # (t, global_idx) per class
+    if S:
+        t, i = _min_t_call(functools.partial(_sphere_kernel, tmin), rays, pack_spheres(scene.spheres), 8)
+        cands.append((t, i))
+    if P:
+        t, i = _min_t_call(functools.partial(_plane_kernel, tmin), rays, pack_planes(scene.planes), 8)
+        cands.append((t, i + S))
+    if T:
+        t, i = _min_t_call(
+            functools.partial(_triangle_kernel, tmin, False), rays, pack_triangles(scene.triangles), 16
+        )
+        cands.append((t, i + S + P))
+
+    if not cands:
+        t_best = jnp.full(R, INF)
+        idx_best = jnp.zeros(R, jnp.int32)
+    else:
+        ts = jnp.stack([c[0][:R] for c in cands])  # (C, R)
+        idxs = jnp.stack([c[1][:R] for c in cands])
+        t_best = jnp.min(ts, axis=0)
+        # ties across classes resolve to the earliest class (sphere<plane<tri)
+        cand_idx = jnp.where(ts == t_best[None, :], idxs, BIG_I)
+        idx_best = jnp.min(cand_idx, axis=0)
+    return intersect.assemble_hit_records(scene, jnp.broadcast_to(ro, rd.shape), rd, t_best, idx_best)
+
+
+def any_hit_pallas(scene: Scene, ro, rd, tmin, tmax):
+    R = rd.shape[0]
+    rays = pack_rays(ro, rd, tmax)
+    tmin = float(tmin)  # static: becomes a kernel literal
+    occ = jnp.zeros(R, bool)
+    if scene.spheres.count:
+        t, _ = _min_t_call(functools.partial(_sphere_kernel, tmin), rays, pack_spheres(scene.spheres), 8)
+        occ |= jnp.isfinite(t[:R])
+    if scene.planes.count:
+        t, _ = _min_t_call(functools.partial(_plane_kernel, tmin), rays, pack_planes(scene.planes), 8)
+        occ |= jnp.isfinite(t[:R])
+    if scene.triangles.count:
+        t, _ = _min_t_call(
+            functools.partial(_triangle_kernel, tmin, True), rays, pack_triangles(scene.triangles), 16
+        )
+        occ |= jnp.isfinite(t[:R])
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Whole-frame megakernel (small scenes: primitives unrolled from SMEM)
+#
+# For scenes with up to MEGA_MAX_PRIMS primitives the winning layout is the
+# transpose of the chunked kernels: RAYS occupy every lane of an (8, 128)
+# tile (1024 rays/tile) and the primitive loop is unrolled with each
+# primitive's parameters read as SMEM scalars.  The whole pipeline — raygen,
+# closest-hit with running payload selects, per-light shadow any-hit,
+# material-table shading, tone map — runs in registers; the only HBM traffic
+# is the final color write.  This is the Pallas equivalent of the reference's
+# entire RenderPixel (reference: source/Renderer.cpp:100-182) as one kernel.
+# ---------------------------------------------------------------------------
+
+MEGA_MAX_PRIMS = 72
+MEGA_MAX_LIGHTS = 8
+_MTILE = 1024  # rays per megakernel tile, as (8, 128)
+
+
+def _msqnorm(x, y, z):
+    return x * x + y * y + z * z
+
+
+def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
+                 cam_ref, sph_ref, pl_ref, tri_ref, li_ref, out_ref):
+    """One (8,128) ray tile end to end.  cam/sph/pl/tri/li live in SMEM."""
+    i = pl.program_id(0)
+    tmin = float(config.ray_min)
+
+    # ---- raygen (reference: source/Renderer.cpp:104-114) ----
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rid = (i * 8 + sub) * 128 + lane
+    pxi = jax.lax.rem(rid, W)
+    pyi = jax.lax.div(rid, W)
+    fov = cam_ref[0, 12]
+    aspect = cam_ref[0, 13]
+    # op order matches generate_rays exactly (fp parity):
+    # cx = (2*(px+.5)/W - 1)*aspect*fov computed as ((2*u - 1)*aspect)*fov
+    ux = (pxi.astype(jnp.float32) + 0.5) / W
+    uy = (pyi.astype(jnp.float32) + 0.5) / H
+    cx = (2.0 * ux - 1.0) * aspect * fov
+    cy = (1.0 - 2.0 * uy) * fov
+    rox, roy, roz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    dx = cx * cam_ref[0, 3] + cy * cam_ref[0, 6] + cam_ref[0, 9]
+    dy = cx * cam_ref[0, 4] + cy * cam_ref[0, 7] + cam_ref[0, 10]
+    dz = cx * cam_ref[0, 5] + cy * cam_ref[0, 8] + cam_ref[0, 11]
+    d_len = jnp.sqrt(_msqnorm(dx, dy, dz))
+    rdx, rdy, rdz = dx / d_len, dy / d_len, dz / d_len
+
+    # ---- closest hit with running payload selects ----
+    # regs: t, unnormalized normal, is_sphere, material (kind,color,params)
+    t = jnp.full((8, 128), INF, jnp.float32)
+    nx = jnp.zeros((8, 128), jnp.float32)
+    ny = jnp.zeros_like(nx)
+    nz = jnp.zeros_like(nx)
+    is_sph = jnp.zeros((8, 128), jnp.float32)  # 0/1 flag (Mosaic: no i1 vector selects)
+    mk = jnp.zeros((8, 128), jnp.float32)  # material kind
+    mr = jnp.zeros_like(nx)
+    mg = jnp.zeros_like(nx)
+    mb = jnp.zeros_like(nx)
+    m0 = jnp.zeros_like(nx)
+    m1 = jnp.zeros_like(nx)
+    m2 = jnp.zeros_like(nx)
+
+    def upd(sel, tc, nxc, nyc, nzc, sphere, mat):
+        nonlocal t, nx, ny, nz, is_sph, mk, mr, mg, mb, m0, m1, m2
+        t = jnp.where(sel, tc, t)
+        nx = jnp.where(sel, nxc, nx)
+        ny = jnp.where(sel, nyc, ny)
+        nz = jnp.where(sel, nzc, nz)
+        is_sph = jnp.where(sel, sphere, is_sph)  # sphere is 0.0/1.0
+        mk = jnp.where(sel, mat[0], mk)
+        mr = jnp.where(sel, mat[1], mr)
+        mg = jnp.where(sel, mat[2], mg)
+        mb = jnp.where(sel, mat[3], mb)
+        m0 = jnp.where(sel, mat[4], m0)
+        m1 = jnp.where(sel, mat[5], m1)
+        m2 = jnp.where(sel, mat[6], m2)
+
+    def sphere_t_one(s, ox, oy, oz, ddx, ddy, ddz, lo, hi):
+        cx_, cy_, cz_, r2 = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3]
+        lx = cx_ - ox
+        ly = cy_ - oy
+        lz = cz_ - oz
+        l2 = _msqnorm(lx, ly, lz)
+        proj = ddx * lx + ddy * ly + ddz * lz
+        perp2 = l2 - proj * proj
+        inside = r2 >= perp2
+        tc = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
+        return jnp.where(inside & (tc >= lo) & (tc <= hi), tc, INF)
+
+    def plane_t_one(p, ox, oy, oz, ddx, ddy, ddz, lo, hi):
+        nx_, ny_, nz_, d = pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 3]
+        denom = ddx * nx_ + ddy * ny_ + ddz * nz_
+        num = d - (ox * nx_ + oy * ny_ + oz * nz_)
+        dn_nz = denom != 0.0
+        tc = num / jnp.where(dn_nz, denom, 1.0)
+        return jnp.where(dn_nz & (tc >= lo) & (tc < hi), tc, INF)
+
+    def tri_t_one(k, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow):
+        v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
+        e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
+        e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
+        nx_, ny_, nz_ = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
+        cull = tri_ref[k, 12]
+        cull_dot = nx_ * ddx + ny_ * ddy + nz_ * ddz
+        not_par = jnp.abs(cull_dot) >= FLT_EPSILON
+        cull_eff = jnp.where(cull == 2.0, 2.0, (1.0 - cull) if shadow else cull)
+        culled = ((cull_eff == 0.0) & (cull_dot < 0.0)) | ((cull_eff == 1.0) & (cull_dot > 0.0))
+        hx = ddy * e2z - ddz * e2y
+        hy = ddz * e2x - ddx * e2z
+        hz = ddx * e2y - ddy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        det_ok = jnp.abs(a) >= FLT_EPSILON
+        inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = inv_a * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = inv_a * (ddx * qx + ddy * qy + ddz * qz)
+        tc = inv_a * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        return jnp.where(not_par & ~culled & det_ok & ok & (tc >= lo) & (tc < hi), tc, INF)
+
+    def mat_of(ref, k, base):
+        return tuple(ref[k, base + c] for c in range(7))
+
+    for s in range(S):
+        tc = sphere_t_one(s, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
+        sel = tc < t
+        px_ = rox + tc * rdx
+        py_ = roy + tc * rdy
+        pz_ = roz + tc * rdz
+        upd(sel, tc, px_ - sph_ref[s, 0], py_ - sph_ref[s, 1], pz_ - sph_ref[s, 2], 1.0, mat_of(sph_ref, s, 4))
+    for p in range(P):
+        tc = plane_t_one(p, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
+        upd(tc < t, tc, pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], 0.0, mat_of(pl_ref, p, 4))
+    for k in range(T):
+        tc = tri_t_one(k, rox, roy, roz, rdx, rdy, rdz, tmin, INF, shadow=False)
+        upd(tc < t, tc, tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11], 0.0, mat_of(tri_ref, k, 13))
+
+    hit = t < INF
+    ts = jnp.where(hit, t, 0.0)
+    px_ = rox + ts * rdx
+    py_ = roy + ts * rdy
+    pz_ = roz + ts * rdz
+    # normalize sphere normals post-selection (reference: source/Scene.cpp:40)
+    n_len = jnp.sqrt(jnp.maximum(_msqnorm(nx, ny, nz), 1e-20))
+    sphm = is_sph > 0.5
+    nx = jnp.where(sphm, nx / n_len, nx)
+    ny = jnp.where(sphm, ny / n_len, ny)
+    nz = jnp.where(sphm, nz / n_len, nz)
+    off = float(config.normal_offset)
+    ox_ = px_ + nx * off
+    oy_ = py_ + ny * off
+    oz_ = pz_ + nz * off
+    vx, vy, vz = -rdx, -rdy, -rdz  # view direction for shading
+
+    cr = jnp.zeros((8, 128), jnp.float32)
+    cg = jnp.zeros_like(cr)
+    cb = jnp.zeros_like(cr)
+    sf = jnp.ones_like(cr)
+    mode = config.lighting_mode
+
+    for li in range(L):
+        lpx, lpy, lpz = li_ref[li, 0], li_ref[li, 1], li_ref[li, 2]
+        lcr, lcg, lcb = li_ref[li, 3], li_ref[li, 4], li_ref[li, 5]
+        lint = li_ref[li, 6]
+        lkind = li_ref[li, 7]  # 0 point, 1 directional; dir stored in pos slot negated
+        is_point = lkind == 0.0
+        ldx = lpx - ox_
+        ldy = lpy - oy_
+        ldz = lpz - oz_
+        mag_pt = jnp.sqrt(_msqnorm(ldx, ldy, ldz))
+        lx = jnp.where(is_point, ldx / mag_pt, -lpx)
+        ly = jnp.where(is_point, ldy / mag_pt, -lpy)
+        lz = jnp.where(is_point, ldz / mag_pt, -lpz)
+        mag = jnp.where(is_point, mag_pt, 3.4028235e38)
+
+        if config.shadows:
+            occ = jnp.zeros((8, 128), jnp.bool_)
+            for s in range(S):
+                occ |= sphere_t_one(s, ox_, oy_, oz_, lx, ly, lz, tmin, mag) < INF
+            for p in range(P):
+                occ |= plane_t_one(p, ox_, oy_, oz_, lx, ly, lz, tmin, mag) < INF
+            for k in range(T):
+                occ |= tri_t_one(k, ox_, oy_, oz_, lx, ly, lz, tmin, mag, shadow=True) < INF
+            lit = ~(occ & hit)
+            sf = sf * jnp.where(lit, 1.0, float(config.shadow_dim))
+        else:
+            lit = jnp.ones((8, 128), jnp.bool_)
+
+        # radiance uses the unoffset hit point (reference: source/Renderer.cpp:150)
+        rdx_p = lpx - px_
+        rdy_p = lpy - py_
+        rdz_p = lpz - pz_
+        inv_d2 = lint / _msqnorm(rdx_p, rdy_p, rdz_p)
+        rad_scale = jnp.where(is_point, inv_d2, lint)
+        oa = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+
+        if mode.name in ("COMBINED", "BRDF"):
+            # material-table dispatch on per-lane regs
+            # Lambert: (cd*kd)/pi op order (reference: source/BRDFs.h:14-22)
+            pi = np.float32(np.pi)
+            lam_r = mr * m0 / pi
+            lam_g = mg * m0 / pi
+            lam_b = mb * m0 / pi
+            # Phong lobe (kind 2): params [kd, ks, exp]
+            ndl = nx * lx + ny * ly + nz * lz
+            two_ndl = 2.0 * jnp.maximum(ndl, 0.0)
+            rfx = lx - two_ndl * nx
+            rfy = ly - two_ndl * ny
+            rfz = lz - two_ndl * nz
+            cosa = jnp.maximum(rfx * vx + rfy * vy + rfz * vz, 0.0)
+            spec_p = m1 * jnp.power(cosa, m2)
+            # Cook-Torrance (kind 3): params [metal, rough]
+            hx_ = vx + lx
+            hy_ = vy + ly
+            hz_ = vz + lz
+            h_len = jnp.maximum(jnp.sqrt(_msqnorm(hx_, hy_, hz_)), 1e-20)
+            hx_ = hx_ / h_len
+            hy_ = hy_ / h_len
+            hz_ = hz_ / h_len
+            dielectric = m0 == 0.0
+            f0r = jnp.where(dielectric, 0.04, mr)
+            f0g = jnp.where(dielectric, 0.04, mg)
+            f0b = jnp.where(dielectric, 0.04, mb)
+            hdv = jnp.maximum(hx_ * vx + hy_ * vy + hz_ * vz, 0.0)
+            fres_w = jnp.power(1.0 - hdv, 5)
+            Fr = f0r + (1.0 - f0r) * fres_w
+            Fg = f0g + (1.0 - f0g) * fres_w
+            Fb = f0b + (1.0 - f0b) * fres_w
+            a_ = m1 * m1
+            sqr_a = a_ * a_
+            ndh = jnp.maximum(nx * hx_ + ny * hy_ + nz * hz_, 0.0)
+            dden = ndh * ndh * (sqr_a - 1.0) + 1.0
+            D = sqr_a / (pi * dden * dden)
+            kk = (a_ + 1.0) * (a_ + 1.0) / 8.0
+            ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+            ndl_c = jnp.maximum(ndl, 0.0)
+            G = (ndv / (ndv * (1.0 - kk) + kk)) * (ndl_c / (ndl_c * (1.0 - kk) + kk))
+            spec_den = 4.0 * jnp.maximum(ndv, 1e-4) * jnp.maximum(ndl_c, 1e-4)
+            spec_s = D * G / spec_den
+            ct_r = jnp.where(dielectric, mr * (1.0 - Fr) / pi, 0.0) + Fr * spec_s
+            ct_g = jnp.where(dielectric, mg * (1.0 - Fg) / pi, 0.0) + Fg * spec_s
+            ct_b = jnp.where(dielectric, mb * (1.0 - Fb) / pi, 0.0) + Fb * spec_s
+            # select by material kind: 0 solid, 1 lambert, 2 lambert+phong, 3 CT
+            br = jnp.where(mk == 0.0, mr, jnp.where(mk == 1.0, lam_r, jnp.where(mk == 2.0, lam_r + spec_p, ct_r)))
+            bg = jnp.where(mk == 0.0, mg, jnp.where(mk == 1.0, lam_g, jnp.where(mk == 2.0, lam_g + spec_p, ct_g)))
+            bb = jnp.where(mk == 0.0, mb, jnp.where(mk == 1.0, lam_b, jnp.where(mk == 2.0, lam_b + spec_p, ct_b)))
+
+        if mode.name == "COMBINED":
+            # ((oa * (color*scale)) * brdf) — the jnp path's op order
+            wr = oa * (lcr * rad_scale) * br
+            wg = oa * (lcg * rad_scale) * bg
+            wb = oa * (lcb * rad_scale) * bb
+        elif mode.name == "OBSERVED_AREA":
+            wr = wg = wb = oa
+        elif mode.name == "RADIANCE":
+            wr = rad_scale * lcr
+            wg = rad_scale * lcg
+            wb = rad_scale * lcb
+        else:  # BRDF
+            wr, wg, wb = br, bg, bb
+        cr = cr + jnp.where(lit, wr, 0.0)
+        cg = cg + jnp.where(lit, wg, 0.0)
+        cb = cb + jnp.where(lit, wb, 0.0)
+
+    cr = jnp.where(hit, cr * sf, 0.0)
+    cg = jnp.where(hit, cg * sf, 0.0)
+    cb = jnp.where(hit, cb * sf, 0.0)
+    # MaxToOne tone map (reference: source/ColorRGB.h:12-17); divide (not
+    # reciprocal-multiply) to match the jnp path bit-for-bit
+    mx = jnp.maximum(cr, jnp.maximum(cg, cb))
+    over = mx > 1.0
+    out_ref[0, :, :] = jnp.where(over, cr / mx, cr)
+    out_ref[1, :, :] = jnp.where(over, cg / mx, cg)
+    out_ref[2, :, :] = jnp.where(over, cb / mx, cb)
+
+
+def _mega_pack(scene: Scene, config: RenderConfig):
+    """SMEM blobs: camera(16,), spheres (S,11), planes (P,11), tris (T,20),
+    lights (L,8) — geometry + that primitive's material row inline."""
+    mats = scene.materials
+
+    def mat_cols(idx):
+        return [
+            mats.kind[idx].astype(jnp.float32),
+            mats.color[idx, 0], mats.color[idx, 1], mats.color[idx, 2],
+            mats.params[idx, 0], mats.params[idx, 1], mats.params[idx, 2],
+        ]
+
+    right, up, fwd = scene.camera.onb()
+    cam = jnp.concatenate([
+        scene.camera.origin, right, up, fwd,
+        scene.camera.fov_scale[None], jnp.float32(config.aspect_ratio)[None],
+        jnp.zeros(2, jnp.float32),
+    ])[None, :]  # (1, 16): SMEM wants 2D
+
+    sph = scene.spheres
+    sph_blob = (
+        jnp.stack([sph.center[:, 0], sph.center[:, 1], sph.center[:, 2], sph.radius * sph.radius]
+                  + mat_cols(sph.material), axis=1)
+        if sph.count else jnp.zeros((0, 11), jnp.float32)
+    )
+    pln = scene.planes
+    pl_blob = (
+        jnp.stack([pln.normal[:, 0], pln.normal[:, 1], pln.normal[:, 2],
+                   jnp.sum(pln.origin * pln.normal, axis=1)] + mat_cols(pln.material), axis=1)
+        if pln.count else jnp.zeros((0, 11), jnp.float32)
+    )
+    tr = scene.triangles
+    if tr.count:
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+        tri_blob = jnp.stack(
+            [tr.v0[:, 0], tr.v0[:, 1], tr.v0[:, 2],
+             e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2],
+             tr.normal[:, 0], tr.normal[:, 1], tr.normal[:, 2],
+             tr.cull.astype(jnp.float32)] + mat_cols(tr.material), axis=1)
+    else:
+        tri_blob = jnp.zeros((0, 20), jnp.float32)
+    lt = scene.lights
+    # directional lights keep their (normalized) direction in the pos slot
+    lpos = jnp.where((lt.kind == 0)[:, None], lt.position, lt.direction)
+    li_blob = jnp.stack([
+        lpos[:, 0], lpos[:, 1], lpos[:, 2],
+        lt.color[:, 0], lt.color[:, 1], lt.color[:, 2],
+        lt.intensity, lt.kind.astype(jnp.float32),
+    ], axis=1) if lt.count else jnp.zeros((0, 8), jnp.float32)
+    return cam, sph_blob, pl_blob, tri_blob, li_blob
+
+
+def render_image_mega_f32(scene: Scene, config: RenderConfig):
+    """Whole-frame megakernel render -> (H, W, 3) f32."""
+    W, H = config.width, config.height
+    R = W * H
+    rows = _cdiv(R, 128)
+    rows_pad = _cdiv(rows, 8) * 8
+    grid_n = rows_pad // 8
+    cam, sph, pln, tri, li = _mega_pack(scene, config)
+    S, P, T, L = sph.shape[0], pln.shape[0], tri.shape[0], li.shape[0]
+    interpret = _interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(_mega_kernel, config, S, P, T, L, W, H)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid_n,),
+        in_specs=[
+            smem((1, 16)),
+            smem((max(S, 1), 11)),
+            smem((max(P, 1), 11)),
+            smem((max(T, 1), 20)),
+            smem((max(L, 1), 8)),
+        ],
+        out_specs=pl.BlockSpec((3, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        cam,
+        sph if S else jnp.zeros((1, 11), jnp.float32),
+        pln if P else jnp.zeros((1, 11), jnp.float32),
+        tri if T else jnp.zeros((1, 20), jnp.float32),
+        li if L else jnp.zeros((1, 8), jnp.float32),
+    )
+    colors = jnp.moveaxis(out.reshape(3, rows_pad * 128), 0, 1)[:R]
+    return colors.reshape(H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# Full-frame renderer on the Pallas backend
+# ---------------------------------------------------------------------------
+
+
+def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
+    return _renderer.shade_rays(
+        scene, ro, rd, config, closest_fn=closest_hit_pallas, any_fn=any_hit_pallas
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_image_f32(scene: Scene, config: RenderConfig):
+    nprims = scene.num_primitives
+    if nprims <= MEGA_MAX_PRIMS and scene.lights.count <= MEGA_MAX_LIGHTS and not config.soft_shadows:
+        return render_image_mega_f32(scene, config)
+    ro, rd = _renderer.generate_rays(scene.camera, config)
+    colors = shade_rays(scene, ro, rd, config)
+    return colors.reshape(config.height, config.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_image(scene: Scene, config: RenderConfig):
+    return math3d.quantize_u8(render_image_f32(scene, config))

@@ -47,14 +47,19 @@ def generate_rays(camera, config: RenderConfig):
     return camera.origin, d.reshape(-1, 3)
 
 
-def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
+def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_fn=None):
     """Full per-ray pipeline for a batch of rays: closest hit, per-light shadow
     + lighting-mode shading, shadow dimming, tone map.  Returns (N,3) f32 in
     [0,1] (pre-quantization).  ``ro`` is (3,) or (N,3).
+
+    ``closest_fn``/``any_fn`` select the intersection backend (default: the
+    batched jnp ops; raytpu.render.pallas_kernel passes its fused kernels).
     """
+    closest_fn = closest_fn or intersect.closest_hit
+    any_fn = any_fn or intersect.any_hit
     n = rd.shape[0]
     ro = jnp.broadcast_to(ro, rd.shape)
-    rec = intersect.closest_hit(scene, ro, rd, jnp.float32(config.ray_min))
+    rec = closest_fn(scene, ro, rd, config.ray_min)
 
     # offset shading point along the normal to avoid self-shadowing
     # (reference: source/Renderer.cpp:126)
@@ -73,7 +78,7 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
             )
             trans = jnp.where(rec.hit, trans, 1.0)
         elif config.shadows:
-            occluded = intersect.any_hit(scene, p_off, l, jnp.float32(config.ray_min), mag)
+            occluded = any_fn(scene, p_off, l, config.ray_min, mag)
             trans = jnp.where(occluded & rec.hit, 0.0, 1.0)
         else:
             trans = jnp.ones((n,), jnp.float32)

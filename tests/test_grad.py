@@ -106,9 +106,9 @@ def test_gradients_are_finite(tri_scene):
     def loss(s):
         return jnp.sum(render_image_f32(s, CFG))
 
-    grads = jax.grad(loss)(tri_scene)
+    grads = jax.grad(loss, allow_int=True)(tri_scene)
     for leaf in jax.tree_util.tree_leaves(grads):
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             assert jnp.all(jnp.isfinite(leaf)), "non-finite gradient leaf"
 
 

@@ -1,0 +1,92 @@
+"""Pallas kernel paths vs the jnp renderer (interpret mode on CPU; the same
+kernels compile via Mosaic on TPU).
+
+Two regimes:
+  * chunked per-class min-t kernels (big scenes, e.g. bunny) — bit-exact
+    (payload/shading is the shared XLA code);
+  * whole-frame megakernel (small scenes) — matches up to a tiny budget of
+    boundary pixels (3-element dot/sum reduction order differs between
+    Mosaic and XLA, flipping near-tie decisions).
+"""
+
+import numpy as np
+import pytest
+
+from raytpu.core import scenes
+from raytpu.core.types import LightingMode, RenderConfig
+from raytpu.render import pallas_kernel as pk
+from raytpu.render import render_image
+
+SMALL = RenderConfig(width=32, height=24)  # interpret mode is slow: keep tiny
+
+_BUILT = {}
+
+
+def _scene(name):
+    if name not in _BUILT:
+        _BUILT[name] = scenes.get(name).build()
+    return _BUILT[name]
+
+
+def _close(a, b, budget=0.01):
+    d = np.abs(a.astype(int) - b.astype(int))
+    flipped = (d > 1).any(axis=-1).mean()
+    assert flipped <= budget, f"{flipped:.3%} pixels flipped (max {d.max()})"
+    assert d.mean() <= 0.5
+
+
+def test_mega_reference_scene():
+    a = np.asarray(render_image(_scene("reference"), SMALL))
+    b = np.asarray(pk.render_image(_scene("reference"), SMALL))
+    _close(a, b)
+
+
+def test_mega_solid_colors_and_single_light():
+    a = np.asarray(render_image(_scene("w2"), SMALL))
+    b = np.asarray(pk.render_image(_scene("w2"), SMALL))
+    _close(a, b)
+
+
+def test_mega_modes_and_toggles():
+    for cfg in [
+        RenderConfig(width=32, height=24, lighting_mode=LightingMode.BRDF),
+        RenderConfig(width=32, height=24, lighting_mode=LightingMode.OBSERVED_AREA),
+        RenderConfig(width=32, height=24, shadows=False),
+    ]:
+        a = np.asarray(render_image(_scene("reference"), cfg))
+        b = np.asarray(pk.render_image(_scene("reference"), cfg))
+        _close(a, b)
+
+
+def test_mega_non_multiple_ray_count():
+    # 50x37 = 1850 rays: not a multiple of the 1024-ray tile
+    cfg = RenderConfig(width=50, height=37)
+    a = np.asarray(render_image(_scene("reference"), cfg))
+    b = np.asarray(pk.render_image(_scene("reference"), cfg))
+    _close(a, b)
+
+
+def test_chunked_kernels_bit_exact_on_bunny():
+    # bunny (292 tris) exceeds MEGA_MAX_PRIMS -> chunked per-class kernels
+    assert _scene("bunny").num_primitives > pk.MEGA_MAX_PRIMS
+    cfg = RenderConfig(width=64, height=48)
+    a = np.asarray(render_image(_scene("bunny"), cfg))
+    b = np.asarray(pk.render_image(_scene("bunny"), cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_chunked_closest_hit_records_match():
+    import jax.numpy as jnp
+
+    from raytpu.ops import intersect
+    from raytpu.render.renderer import generate_rays
+
+    scene = _scene("bunny")
+    ro, rd = generate_rays(scene.camera, SMALL)
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    a = intersect.closest_hit(scene, ro_b, rd, 1e-4)
+    b = pk.closest_hit_pallas(scene, ro_b, rd, 1e-4)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.material), np.asarray(b.material))
+    # t agrees to a couple f32 ulps (XLA's dot reduction order differs)
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5)
