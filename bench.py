@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     p.add_argument("--repeats", type=int, default=3, help="timed dispatches (best taken)")
     p.add_argument("--platform", default=None)
     p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--grad", action="store_true",
+                   help="benchmark fwd+bwd (soft-shadow inverse-rendering steps) instead of forward")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -51,6 +53,9 @@ def main(argv=None) -> int:
     # single-chunk rendering: the whole ray grid in one batch (no lax.map)
     config = RenderConfig(width=w, height=h, ray_chunk=num_rays)
     scene = scenes.get(args.scene).build()
+
+    if args.grad:
+        return bench_grad(args, scene, config, num_rays)
 
     render_fn = None
     backend = "jnp"
@@ -100,6 +105,56 @@ def main(argv=None) -> int:
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / BASELINE_PRIMARY_RAYS_PER_S,
+    }))
+    return 0
+
+
+def bench_grad(args, scene, config, num_rays) -> int:
+    """fwd+bwd ms/frame: chained soft-shadow inverse-rendering steps (one
+    lax.scan dispatch of K value_and_grad+sgd steps on material params)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytpu.grad import diff_render
+
+    target = jnp.zeros((config.height, config.width, 3), jnp.float32)
+    soft_cfg = dataclasses.replace(config, soft_shadows=True)
+
+    from raytpu.render.renderer import render_image_f32
+
+    def loss_fn(params):
+        s = diff_render.merge_material_params(scene, params)
+        img = render_image_f32(s, soft_cfg)
+        return jnp.mean((img - target) ** 2)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def steps(params, n):
+        def body(p, _):
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            p = jax.tree_util.tree_map(lambda x, gx: x - 1e-2 * gx, p, g)
+            return p, loss
+        return jax.lax.scan(body, params, None, length=n)
+
+    params = diff_render.material_params(scene)
+    t0 = time.perf_counter()
+    p, losses = steps(params, args.frames)
+    jnp.asarray(losses).block_until_ready()
+    float(losses[-1])
+    print(f"compile+first dispatch: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        _, losses = steps(params, args.frames)
+        float(jnp.asarray(losses)[-1])
+        best = min(best, time.perf_counter() - t0)
+    ms = best * 1e3 / args.frames
+    print(f"best: {ms:.2f} fwd+bwd ms/frame (loss {float(losses[-1]):.5f})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "fwd_bwd_ms_per_frame",
+        "value": ms,
+        "unit": "ms",
+        "vs_baseline": (1000.0 / 11.0285) / ms,  # reference fwd-only frame time / our fwd+bwd
     }))
     return 0
 

@@ -60,6 +60,21 @@ def reflect(l, n):
     return l - 2.0 * jnp.maximum(dot(n, l), 0.0)[..., None] * n
 
 
+def project(v, onto):
+    """Project v onto another vector (reference: Vector3::Project)."""
+    return onto * (dot(v, onto) / dot(onto, onto))[..., None]
+
+
+def reject(v, onto):
+    """Component of v perpendicular to ``onto`` (reference: Vector3::Reject)."""
+    return v - project(v, onto)
+
+
+def lerp(a, b, factor):
+    """Linear interpolation (reference: source/ColorRGB.h Lerp / MathHelpers Lerpf)."""
+    return a + (b - a) * factor
+
+
 # ---------------------------------------------------------------------------
 # Row-vector 4x4 transforms.  M[i] is a basis row; points append an implicit 1.
 # ---------------------------------------------------------------------------
@@ -132,9 +147,14 @@ def srt(scale_m, rot_m, trans_m):
 
 def max_to_one(rgb):
     """Per-pixel tone map: divide by the max channel when it exceeds 1
-    (reference: source/ColorRGB.h:12-17).  Batched over leading axes."""
+    (reference: source/ColorRGB.h:12-17).  Batched over leading axes.
+
+    Double-where on the denominator: on black pixels (m=0) the unselected
+    division's partial is infinite and 0-cotangent * inf would NaN every
+    gradient that sums over pixels."""
     m = jnp.max(rgb, axis=-1, keepdims=True)
-    return jnp.where(m > 1.0, rgb / m, rgb)
+    over = m > 1.0
+    return jnp.where(over, rgb / jnp.where(over, m, 1.0), rgb)
 
 
 def quantize_u8(rgb):

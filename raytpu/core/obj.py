@@ -21,8 +21,8 @@ import numpy as np
 #: scenes load the exact same meshes.
 _ASSET_DIRS = [
     os.environ.get("RAYTPU_ASSETS", ""),
-    str(Path(__file__).resolve().parent.parent / "assets"),
     "/root/reference/source/Resources",
+    str(Path(__file__).resolve().parent.parent / "assets"),  # bundled fallback
 ]
 
 

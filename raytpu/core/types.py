@@ -496,6 +496,10 @@ class SceneBuilder:
             material=_i32(np.asarray(self._pl_m, np.int32)),
         )
         meshes = self._build_meshes()
+        # spatially order large meshes so the Pallas chunk-culling kernels
+        # see tight per-chunk AABBs (raytpu.ops.accel); small scenes keep
+        # insertion order for exact reference tie-break parity
+        reorder_large = meshes.num_faces > 256
         lights = Lights(
             position=_f32(np.asarray(self._li_p, np.float32).reshape(-1, 3)),
             direction=_f32(np.asarray(self._li_d, np.float32).reshape(-1, 3)),
@@ -508,7 +512,7 @@ class SceneBuilder:
             color=_f32(np.asarray(self._mat_color, np.float32).reshape(-1, 3)),
             params=_f32(np.asarray(self._mat_params, np.float32).reshape(-1, 3)),
         )
-        return Scene(
+        scene = Scene(
             spheres=spheres,
             planes=planes,
             meshes=meshes,
@@ -517,6 +521,11 @@ class SceneBuilder:
             materials=materials,
             camera=self.camera,
         )
+        if reorder_large:
+            from raytpu.ops import accel
+
+            scene = accel.reorder_scene_triangles(scene)
+        return scene
 
     def _build_meshes(self) -> Meshes:
         if not self._meshes:

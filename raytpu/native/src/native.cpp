@@ -49,32 +49,44 @@ static ObjData* g_last_obj = nullptr;
 
 int rt_parse_obj(const char* path, const float** positions, int* num_pos,
                  const float** normals, const int32_t** indices, int* num_faces) {
-  std::ifstream file(path);
+  std::ifstream file(path, std::ios::binary);
   if (!file) return -1;
+  std::string buf((std::istreambuf_iterator<char>(file)), std::istreambuf_iterator<char>());
   auto* d = new ObjData();
-  std::string line, cmd;
-  while (std::getline(file, line)) {
-    std::istringstream ss(line);
-    if (!(ss >> cmd)) continue;
-    if (cmd == "v") {
-      float x, y, z;
-      if (ss >> x >> y >> z) {
-        d->positions.push_back(x);
-        d->positions.push_back(y);
-        d->positions.push_back(z);
-      }
-    } else if (cmd == "f") {
-      std::string s0, s1, s2;
-      if (ss >> s0 >> s1 >> s2) {
-        for (const std::string* s : {&s0, &s1, &s2}) {
-          // first '/'-delimited field, parsed as float then truncated,
-          // 1-based -> 0-based (matches the reference's stof path)
-          size_t slash = s->find('/');
-          float idx = std::stof(s->substr(0, slash));
-          d->indices.push_back(static_cast<int32_t>(idx) - 1);
-        }
+  const char* p = buf.c_str();
+  const char* end = p + buf.size();
+  auto skip_ws = [&](const char*& c) {
+    while (c < end && (*c == ' ' || *c == '\t' || *c == '\r')) ++c;
+  };
+  auto skip_line = [&](const char*& c) {
+    while (c < end && *c != '\n') ++c;
+    if (c < end) ++c;
+  };
+  while (p < end) {
+    skip_ws(p);
+    if (p + 1 < end && p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+      ++p;
+      char* q;
+      float x = std::strtof(p, &q);
+      float y = std::strtof(q, &q);
+      float z = std::strtof(q, &q);
+      p = q;
+      d->positions.push_back(x);
+      d->positions.push_back(y);
+      d->positions.push_back(z);
+    } else if (p + 1 < end && p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+      ++p;
+      // first '/'-delimited field of each of three tokens, parsed as float
+      // then truncated, 1-based -> 0-based (the reference's stof path)
+      for (int k = 0; k < 3; ++k) {
+        char* q;
+        float idx = std::strtof(p, &q);
+        p = q;
+        d->indices.push_back(static_cast<int32_t>(idx) - 1);
+        while (p < end && *p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') ++p;  // skip /n/m
       }
     }
+    skip_line(p);
   }
   size_t nf = d->indices.size() / 3;
   d->normals.resize(nf * 3);

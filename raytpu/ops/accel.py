@@ -1,0 +1,193 @@
+"""Acceleration-structure layer: TPU-friendly chunk culling.
+
+The reference rebuilds a recursive SAH BVH per mesh per frame and walks it
+per ray (reference: source/DataTypes.h:294-483, source/Utils.h:246-288).
+Pointer-chasing BVHs are hostile to the VPU, so the TPU-native equivalent is
+**chunked culling** (SURVEY.md §7.8b):
+
+  * triangles are reordered once by Morton code of their centroid (native
+    C++ sort when available) so each 128-triangle kernel chunk is spatially
+    coherent with a tight AABB;
+  * per chunk, an AABB is computed (refreshed per frame in XLA — the analog
+    of the reference's per-frame BVH rebuild, but O(T) data-parallel);
+  * the Pallas min-t kernel slab-tests each (ray tile, chunk) pair with
+    conservative interval arithmetic on the tile's ray bounds and skips the
+    whole Möller–Trumbore block when the chunk cannot intersect.
+
+This keeps the divergence-free data-parallel shape while skipping most of
+the O(rays x triangles) work for large meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.core.types import Scene, Triangles
+
+CHUNK = 128  # triangles per cull chunk == Pallas lane count
+
+
+def morton_permutation(tri_verts: np.ndarray) -> np.ndarray:
+    """Morton-order permutation of (T,3,3) triangle soup (native or numpy)."""
+    try:
+        from raytpu.native import runtime as rt
+
+        if rt.available():
+            return rt.morton_order(tri_verts)
+    except Exception:
+        pass
+    return _morton_numpy(tri_verts)
+
+
+def _expand_bits10(v):
+    v &= 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _morton_numpy(tri_verts: np.ndarray) -> np.ndarray:
+    tv = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
+    cent = tv.mean(axis=1)
+    lo, hi = cent.min(axis=0), cent.max(axis=0)
+    rng = np.where(hi > lo, hi - lo, 1.0)
+    q = np.clip(((cent - lo) / rng * 1023.0), 0, 1023).astype(np.uint32)
+    code = (
+        (_expand_bits10(q[:, 0]) << 2)
+        | (_expand_bits10(q[:, 1]) << 1)
+        | _expand_bits10(q[:, 2])
+    )
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def reorder_scene_triangles(scene: Scene) -> Scene:
+    """Reorder the scene's triangle soup (and the mesh face tables that
+    generate it) by Morton code, so kernel chunks are spatially coherent.
+
+    NOTE: reordering changes the reference's iteration-order tie-break for
+    exactly-coincident surfaces; geometry and shading are otherwise
+    unaffected.
+    """
+    tr = scene.triangles
+    if tr.count == 0:
+        return scene
+    tv = np.stack([np.asarray(tr.v0), np.asarray(tr.v1), np.asarray(tr.v2)], axis=1)
+    perm = morton_permutation(tv)
+    perm_j = jnp.asarray(perm)
+    tri2 = Triangles(
+        v0=tr.v0[perm_j], v1=tr.v1[perm_j], v2=tr.v2[perm_j],
+        normal=tr.normal[perm_j], cull=tr.cull[perm_j], material=tr.material[perm_j],
+    )
+    meshes = scene.meshes
+    if meshes.num_faces == tr.count:
+        meshes = dataclasses.replace(
+            meshes,
+            face_vertex=meshes.face_vertex[perm_j],
+            face_normal=meshes.face_normal[perm_j],
+            face_mesh=meshes.face_mesh[perm_j],
+        )
+    return dataclasses.replace(scene, triangles=tri2, meshes=meshes)
+
+
+def chunk_bounds(tris: Triangles, chunk: int = CHUNK):
+    """Per-chunk AABBs (nc, 3)+(nc, 3), padding chunks with +/-inf-free
+    degenerate bounds.  Pure jnp: recomputed per frame under jit (the
+    data-parallel analog of the reference's per-frame BVH rebuild)."""
+    T = tris.count
+    nc = -(-T // chunk)
+    pad = nc * chunk - T
+
+    def padwith(x, v):
+        return jnp.pad(x, ((0, pad), (0, 0)), constant_values=v)
+
+    v0 = padwith(tris.v0, jnp.inf).reshape(nc, chunk, 3)
+    v1 = padwith(tris.v1, jnp.inf).reshape(nc, chunk, 3)
+    v2 = padwith(tris.v2, jnp.inf).reshape(nc, chunk, 3)
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2).min(axis=1)
+    v0n = padwith(tris.v0, -jnp.inf).reshape(nc, chunk, 3)
+    v1n = padwith(tris.v1, -jnp.inf).reshape(nc, chunk, 3)
+    v2n = padwith(tris.v2, -jnp.inf).reshape(nc, chunk, 3)
+    hi = jnp.maximum(jnp.maximum(v0n, v1n), v2n).max(axis=1)
+    return lo, hi
+
+
+def cull_matrix(rb, chunk_lo, chunk_hi, tmin):
+    """(nr, nc) f32 matrix: 1.0 where ray tile i may hit chunk j, else 0.0.
+
+    Computed fully in XLA (vectorized over all tile/chunk pairs) so the
+    Pallas kernel's per-step predicate is a single SMEM load.  Combines the
+    interval slab test (strong for diverging primary tiles) with the
+    segment-union AABB overlap (strong for shadow rays converging on one
+    light); both conservative.
+    """
+    omin, omax = rb[:, None, 0:3], rb[:, None, 3:6]  # (nr,1,3)
+    dmin, dmax = rb[:, None, 6:9], rb[:, None, 9:12]
+    tmax_t = rb[:, None, 12:13]
+    seg_valid = rb[:, None, 13:14] > 0.0
+    emin, emax = rb[:, None, 14:17], rb[:, None, 17:20]
+    lo, hi = chunk_lo[None, :, :], chunk_hi[None, :, :]  # (1,nc,3)
+
+    sign_safe = (dmin > 0.0) | (dmax < 0.0)
+    inv1 = 1.0 / dmin
+    inv2 = 1.0 / dmax
+    cands = jnp.stack(
+        [(b - o) * inv for b in (lo, hi) for o in (omin, omax) for inv in (inv1, inv2)]
+    )  # (8, nr, nc, 3)
+    ax_lo = jnp.where(sign_safe, cands.min(axis=0), -3.0e38)
+    ax_hi = jnp.where(sign_safe, cands.max(axis=0), 3.0e38)
+    t_lo = jnp.maximum(ax_lo.max(axis=-1), tmin)  # (nr, nc)
+    t_hi = jnp.minimum(ax_hi.min(axis=-1), tmax_t[:, :, 0])
+    slab_ok = t_hi >= t_lo
+
+    s_lo = jnp.minimum(omin, emin)
+    s_hi = jnp.maximum(omax, emax)
+    seg_ok = ((s_lo <= hi) & (s_hi >= lo)).all(axis=-1) | ~seg_valid[:, :, 0]
+
+    return (slab_ok & seg_ok).astype(jnp.float32)
+
+
+def ray_tile_bounds(ro, rd, tmax, tile: int = 128):
+    """Per-ray-tile conservative bounds (nr, 21):
+    [omin3, omax3, dmin3, dmax3, tmax_max, seg_valid, emin3, emax3]
+    for the kernel's scalar chunk-culling tests.
+
+    Two complementary rejection tests are supported downstream:
+      * interval slab test on [omin,omax] x [dmin,dmax] — strong for
+        diverging primary rays (tight direction cones per pixel tile);
+      * segment-union AABB [min(omin,emin), max(omax,emax)] vs chunk AABB —
+        strong for shadow rays, which converge on one light: every segment
+        ends at the light, so the union of segments lies inside the AABB of
+        origins+endpoints.  ``seg_valid`` is 0 when endpoints are unbounded
+        (primary rays / directional lights).
+    """
+    R = rd.shape[0]
+    nr = -(-R // tile)
+    pad = nr * tile - R
+
+    def p3(x, v):
+        return jnp.pad(x, ((0, pad), (0, 0)), constant_values=v).reshape(nr, tile, 3)
+
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    tmax_b = jnp.broadcast_to(tmax, (R,))
+    omin = p3(ro_b, jnp.inf).min(axis=1)
+    omax = p3(ro_b, -jnp.inf).max(axis=1)
+    dmin = p3(rd, jnp.inf).min(axis=1)
+    dmax = p3(rd, -jnp.inf).max(axis=1)
+    tmx = jnp.pad(tmax_b, (0, pad), constant_values=0.0).reshape(nr, tile).max(axis=1)
+    endpoint = ro_b + rd * jnp.minimum(tmax_b, 3.0e37)[:, None]
+    emin = p3(endpoint, jnp.inf).min(axis=1)
+    emax = p3(endpoint, -jnp.inf).max(axis=1)
+    seg_valid = (
+        jnp.isfinite(emin).all(axis=1)
+        & jnp.isfinite(emax).all(axis=1)
+        & (jnp.abs(emax).max(axis=1) < 1e30)
+        & (jnp.abs(emin).max(axis=1) < 1e30)
+    ).astype(jnp.float32)
+    return jnp.concatenate(
+        [omin, omax, dmin, dmax, tmx[:, None], seg_valid[:, None], emin, emax], axis=1
+    )

@@ -111,10 +111,20 @@ def shade(materials: Materials, mat_idx, n, l, v):
     color = materials.color[mat_idx]  # (R,3)
     params = materials.params[mat_idx]  # (R,3)
 
+    # Sanitize each family's parameters on the rows where it is NOT selected:
+    # jnp.where protects forward values but not backward partials — e.g.
+    # Cook-Torrance at roughness=0 (a Lambert row) has an infinite dD/ddenom
+    # at ndh=1, and 0-cotangent * inf = NaN would leak into every gradient.
+    is_ct = kind == 3
+    rough_safe = jnp.where(is_ct, params[:, 1], 1.0)
+    metal_safe = jnp.where(is_ct, params[:, 0], 1.0)
+    is_lp = kind == 2
+    exp_safe = jnp.where(is_lp, params[:, 2], 1.0)
+
     c_solid = color
     c_lambert = lambert(params[:, 0], color)
-    c_lp = c_lambert + phong(params[:, 1], params[:, 2], l, v, n)
-    c_ct = cook_torrance(color, params[:, 0], params[:, 1], n, l, v)
+    c_lp = c_lambert + phong(params[:, 1], exp_safe, l, v, n)
+    c_ct = cook_torrance(color, metal_safe, rough_safe, n, l, v)
 
     out = jnp.where((kind == 0)[:, None], c_solid, c_ct)
     out = jnp.where((kind == 1)[:, None], c_lambert, out)

@@ -42,7 +42,7 @@ from raytpu.core.types import RenderConfig, Scene
 from raytpu.ops import intersect
 from raytpu.render import renderer as _renderer
 
-RT = 128  # rays per tile (sublanes)
+RT = 512  # rays per tile (sublanes)
 CT = 128  # primitives per chunk (lanes)
 FLT_EPSILON = 1.1920929e-07
 INF = float("inf")
@@ -70,19 +70,34 @@ def _pad_axis(x, axis, multiple, value):
 # ---------------------------------------------------------------------------
 
 
-def _fold_min(t, t_ref, idx_ref):
-    """Fold a (RT, CT) masked t-matrix into the per-ray accumulators."""
-    j = pl.program_id(1)
+def _fold_min_carry(t, carry, offset):
+    """Functional fold of a (RT, CT) masked t-matrix into (t_acc, idx_acc)
+    register carries; ``offset`` shifts lane ids into global numbering.
+    Strict < keeps earlier folds on ties (reference iteration order)."""
+    t_acc, idx_acc = carry
+    t_min = jnp.min(t, axis=1, keepdims=True)  # (RT,1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CT), 1)
+    first = jnp.min(jnp.where(t == t_min, lane, BIG_I), axis=1, keepdims=True)
+    gidx = first + offset
+    better = t_min < t_acc
+    return (jnp.where(better, t_min, t_acc), jnp.where(better, gidx, idx_acc))
 
+
+def _init_fold(t_ref, idx_ref, j):
     @pl.when(j == 0)
     def _():
         t_ref[:] = jnp.full((RT, 1), INF, jnp.float32)
         idx_ref[:] = jnp.full((RT, 1), BIG_I, jnp.int32)
 
+
+def _fold_min(t, t_ref, idx_ref, offset):
+    """Fold a (RT, CT) masked t-matrix into the per-ray accumulators;
+    ``offset`` shifts lane indices into the global primitive numbering.
+    Strict < keeps earlier folds on ties (reference iteration order)."""
     t_min = jnp.min(t, axis=1, keepdims=True)  # (RT,1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CT), 1)
     first = jnp.min(jnp.where(t == t_min, lane, BIG_I), axis=1, keepdims=True)
-    gidx = first + j * CT
+    gidx = first + offset
     better = t_min < t_ref[:]
     idx_ref[:] = jnp.where(better, gidx, idx_ref[:])
     t_ref[:] = jnp.where(better, t_min, t_ref[:])
@@ -94,10 +109,9 @@ def _ray_cols(rays_ref):
     return cols  # rox roy roz rdx rdy rdz tmax
 
 
-def _sphere_kernel(tmin, rays_ref, sph_ref, t_ref, idx_ref):
+def _sphere_fold(tmin, cols, s, carry, offset):
     """Geometric sphere test, near root only (reference: source/Utils.h:52-71)."""
-    rox, roy, roz, rdx, rdy, rdz, tmax = _ray_cols(rays_ref)
-    s = sph_ref[:]  # (8, CT)
+    rox, roy, roz, rdx, rdy, rdz, tmax = cols  # s: (8, CT) values
     cx, cy, cz, r2 = (s[i : i + 1, :] for i in range(4))
     lx = cx - rox
     ly = cy - roy
@@ -108,28 +122,26 @@ def _sphere_kernel(tmin, rays_ref, sph_ref, t_ref, idx_ref):
     inside = r2 >= perp2
     t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
     valid = inside & (t >= tmin) & (t <= tmax)
-    _fold_min(jnp.where(valid, t, INF), t_ref, idx_ref)
+    return _fold_min_carry(jnp.where(valid, t, INF), carry, offset)
 
 
-def _plane_kernel(tmin, rays_ref, pl_ref, t_ref, idx_ref):
+def _plane_fold(tmin, cols, p, carry, offset):
     """t = (d - ro.n) / rd.n, valid on [tmin, tmax)
     (reference: source/Utils.h:82-98)."""
-    rox, roy, roz, rdx, rdy, rdz, tmax = _ray_cols(rays_ref)
-    p = pl_ref[:]
+    rox, roy, roz, rdx, rdy, rdz, tmax = cols  # p: (8, CT) values
     nx, ny, nz, d = (p[i : i + 1, :] for i in range(4))
     denom = rdx * nx + rdy * ny + rdz * nz
     num = d - (rox * nx + roy * ny + roz * nz)
     denom_nz = denom != 0.0
     t = num / jnp.where(denom_nz, denom, 1.0)
     valid = denom_nz & (t >= tmin) & (t < tmax)
-    _fold_min(jnp.where(valid, t, INF), t_ref, idx_ref)
+    return _fold_min_carry(jnp.where(valid, t, INF), carry, offset)
 
 
-def _triangle_kernel(tmin, shadow_pass, rays_ref, tri_ref, t_ref, idx_ref):
+def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
     """Möller–Trumbore with per-triangle cull modes; shadow rays swap
     front/back culling (reference: source/Utils.h:109-184)."""
-    rox, roy, roz, rdx, rdy, rdz, tmax = _ray_cols(rays_ref)
-    tr = tri_ref[:]  # (16, CT)
+    rox, roy, roz, rdx, rdy, rdz, tmax = cols  # tr: (16, CT) values
     v0x, v0y, v0z = (tr[i : i + 1, :] for i in range(3))
     e1x, e1y, e1z = (tr[i : i + 1, :] for i in range(3, 6))
     e2x, e2y, e2z = (tr[i : i + 1, :] for i in range(6, 9))
@@ -161,7 +173,7 @@ def _triangle_kernel(tmin, shadow_pass, rays_ref, tri_ref, t_ref, idx_ref):
     t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
     bary_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
     valid = not_parallel & ~culled & det_ok & bary_ok & (t >= tmin) & (t < tmax)
-    _fold_min(jnp.where(valid, t, INF), t_ref, idx_ref)
+    return _fold_min_carry(jnp.where(valid, t, INF), carry, offset)
 
 
 # ---------------------------------------------------------------------------
@@ -169,38 +181,8 @@ def _triangle_kernel(tmin, shadow_pass, rays_ref, tri_ref, t_ref, idx_ref):
 # ---------------------------------------------------------------------------
 
 
-def _min_t_call(kernel, rays, prims, prim_rows):
-    """Run a min-t kernel over (ray tiles x prim chunks).
-
-    rays: (R, 8) f32 (R a multiple of RT); prims: (prim_rows, P) f32
-    (P a multiple of CT).  Returns t (R,), idx (R,) i32.
-    """
-    R = rays.shape[0]
-    P = prims.shape[1]
-    grid = (R // RT, P // CT)
-    interpret = _interpret or jax.default_backend() == "cpu"
-    t, idx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((RT, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((prim_rows, CT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((RT, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(rays, prims)
-    return t[:, 0], idx[:, 0]
-
-
 # ---------------------------------------------------------------------------
-# Host-side packing (cached per scene geometry id)
+# Host-side packing
 # ---------------------------------------------------------------------------
 
 
@@ -250,60 +232,104 @@ def pack_triangles(tris):
     return _pad_axis(t, 1, CT, 0.0)  # degenerate zero triangles miss
 
 
-# ---------------------------------------------------------------------------
-# Scene-level queries mirroring raytpu.ops.intersect
-# ---------------------------------------------------------------------------
+def _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled):
+    """ONE kernel per intersection pass over a 1D grid of ray tiles.
+
+    All primitive data is VMEM-resident for the whole pass; the triangle
+    chunk loop runs INSIDE the kernel (fori_loop + lax.cond on the
+    precomputed cull matrix), so the per-grid-step pipeline overhead is paid
+    once per ray tile instead of once per (tile, chunk)."""
+
+    def kernel(rays_ref, sph_ref, pl_ref, tri_ref, cull_ref, t_ref, idx_ref):
+        cols = _ray_cols(rays_ref)
+        carry = (
+            jnp.full((RT, 1), INF, jnp.float32),
+            jnp.full((RT, 1), BIG_I, jnp.int32),
+        )
+        if S:
+            carry = _sphere_fold(tmin, cols, sph_ref[:], carry, 0)
+        if P:
+            carry = _plane_fold(tmin, cols, pl_ref[:], carry, S)
+        if T:
+            if nc == 1:
+                carry = _triangle_fold(tmin, shadow_pass, cols, tri_ref[:], carry, S + P)
+            else:
+                def body(c, carry):
+                    tr = tri_ref[:, pl.ds(c * CT, CT)]
+
+                    def do(carry):
+                        return _triangle_fold(tmin, shadow_pass, cols, tr, carry, S + P + c * CT)
+
+                    if culled:
+                        return jax.lax.cond(cull_ref[0, 0, c] > 0.0, do, lambda x: x, carry)
+                    return do(carry)
+
+                carry = jax.lax.fori_loop(0, nc, body, carry)
+        t_ref[:] = carry[0]
+        idx_ref[:] = carry[1]
+
+    return kernel
+
+
+CULL_MIN_TRIS = 2 * CT  # chunk culling pays off past a couple of chunks
+
+
+def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
+    """Fused min-t over all primitive classes -> (t (R,), global idx (R,))."""
+    from raytpu.ops import accel
+
+    R = rays.shape[0]
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    sph = pack_spheres(scene.spheres) if S else jnp.zeros((8, CT), jnp.float32)
+    pln = pack_planes(scene.planes) if P else jnp.zeros((8, CT), jnp.float32)
+    tri = pack_triangles(scene.triangles) if T else jnp.zeros((16, CT), jnp.float32)
+    nc = tri.shape[1] // CT if T else 1
+    culled = T >= CULL_MIN_TRIS
+    if culled:
+        rb = accel.ray_tile_bounds(rays[:, 0:3], rays[:, 3:6], rays[:, 6], tile=RT)
+        lo, hi = accel.chunk_bounds(scene.triangles, CT)
+        cull = accel.cull_matrix(rb, lo, hi, tmin)  # (nr, nc) f32
+    else:
+        cull = jnp.ones((R // RT, nc), jnp.float32)
+
+    interpret = _interpret or jax.default_backend() == "cpu"
+    t, idx = pl.pallas_call(
+        _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled),
+        grid=(R // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tri.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, sph, pln, tri, cull[:, None, :])
+    return t[:, 0], idx[:, 0]
 
 
 def closest_hit_pallas(scene: Scene, ro, rd, tmin) -> intersect.HitRecords:
     R = rd.shape[0]
     rays = pack_rays(ro, rd, INF)
-    tmin = float(tmin)  # static: becomes a kernel literal
-
-    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
-    cands = []  # (t, global_idx) per class
-    if S:
-        t, i = _min_t_call(functools.partial(_sphere_kernel, tmin), rays, pack_spheres(scene.spheres), 8)
-        cands.append((t, i))
-    if P:
-        t, i = _min_t_call(functools.partial(_plane_kernel, tmin), rays, pack_planes(scene.planes), 8)
-        cands.append((t, i + S))
-    if T:
-        t, i = _min_t_call(
-            functools.partial(_triangle_kernel, tmin, False), rays, pack_triangles(scene.triangles), 16
-        )
-        cands.append((t, i + S + P))
-
-    if not cands:
-        t_best = jnp.full(R, INF)
-        idx_best = jnp.zeros(R, jnp.int32)
-    else:
-        ts = jnp.stack([c[0][:R] for c in cands])  # (C, R)
-        idxs = jnp.stack([c[1][:R] for c in cands])
-        t_best = jnp.min(ts, axis=0)
-        # ties across classes resolve to the earliest class (sphere<plane<tri)
-        cand_idx = jnp.where(ts == t_best[None, :], idxs, BIG_I)
-        idx_best = jnp.min(cand_idx, axis=0)
-    return intersect.assemble_hit_records(scene, jnp.broadcast_to(ro, rd.shape), rd, t_best, idx_best)
+    t, idx = scene_min_t(scene, rays, float(tmin), shadow_pass=False)
+    return intersect.assemble_hit_records(
+        scene, jnp.broadcast_to(ro, rd.shape), rd, t[:R], idx[:R]
+    )
 
 
 def any_hit_pallas(scene: Scene, ro, rd, tmin, tmax):
     R = rd.shape[0]
     rays = pack_rays(ro, rd, tmax)
-    tmin = float(tmin)  # static: becomes a kernel literal
-    occ = jnp.zeros(R, bool)
-    if scene.spheres.count:
-        t, _ = _min_t_call(functools.partial(_sphere_kernel, tmin), rays, pack_spheres(scene.spheres), 8)
-        occ |= jnp.isfinite(t[:R])
-    if scene.planes.count:
-        t, _ = _min_t_call(functools.partial(_plane_kernel, tmin), rays, pack_planes(scene.planes), 8)
-        occ |= jnp.isfinite(t[:R])
-    if scene.triangles.count:
-        t, _ = _min_t_call(
-            functools.partial(_triangle_kernel, tmin, True), rays, pack_triangles(scene.triangles), 16
-        )
-        occ |= jnp.isfinite(t[:R])
-    return occ
+    t, _ = scene_min_t(scene, rays, float(tmin), shadow_pass=True)
+    return jnp.isfinite(t[:R])
 
 
 # ---------------------------------------------------------------------------
@@ -691,13 +717,32 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _tile_permutation(h: int, w: int, th: int = 16, tw: int = 32):
+    """Row-major -> (th x tw)-pixel-tile-major ray permutation, so each
+    512-ray (RT) kernel tile is a compact screen rectangle with a tight direction
+    cone (makes chunk culling effective).  None if not divisible."""
+    if h % th or w % tw:
+        return None
+    idx = np.arange(h * w).reshape(h // th, th, w // tw, tw)
+    perm = idx.transpose(0, 2, 1, 3).reshape(-1)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm, inv  # numpy: safe to cache across jit traces
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def render_image_f32(scene: Scene, config: RenderConfig):
     nprims = scene.num_primitives
     if nprims <= MEGA_MAX_PRIMS and scene.lights.count <= MEGA_MAX_LIGHTS and not config.soft_shadows:
         return render_image_mega_f32(scene, config)
     ro, rd = _renderer.generate_rays(scene.camera, config)
-    colors = shade_rays(scene, ro, rd, config)
+    tiling = _tile_permutation(config.height, config.width)
+    if tiling is not None:
+        perm, inv = tiling
+        colors = shade_rays(scene, ro, rd[perm], config)[inv]
+    else:
+        colors = shade_rays(scene, ro, rd, config)
     return colors.reshape(config.height, config.width, 3)
 
 

@@ -127,7 +127,9 @@ def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig):
     if n <= chunk:
         return shade_rays(scene, ro, rd, config)
     pad = (-n) % chunk
-    rd_p = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0).reshape(-1, chunk, 3)
+    # edge-replicate: padded rays duplicate a real ray, so the padded lanes
+    # can't introduce gradients/partials that real rays don't have
+    rd_p = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge").reshape(-1, chunk, 3)
     body = lambda rds: shade_rays(scene, ro, rds, config)
     out = jax.lax.map(body, rd_p).reshape(-1, 3)
     return out[:n]
