@@ -107,9 +107,19 @@ def shade(materials: Materials, mat_idx, n, l, v):
       n, l, v: (R,3) unit normal, light and view directions.
     Returns (R,3) BRDF color.
     """
-    kind = materials.kind[mat_idx]  # (R,)
-    color = materials.color[mat_idx]  # (R,3)
-    params = materials.params[mat_idx]  # (R,3)
+    # Per-ray material parameters via one-hot matmul instead of gathers:
+    # TPU dynamic gathers are scalar-slow, a (R, M) @ (M, 7) matmul rides
+    # the MXU (M = material count, tiny).
+    M = materials.count
+    table = jnp.concatenate(
+        [materials.kind.astype(jnp.float32)[:, None], materials.color, materials.params],
+        axis=1,
+    )  # (M, 7)
+    onehot = (mat_idx[:, None] == jnp.arange(M, dtype=mat_idx.dtype)[None, :]).astype(jnp.float32)
+    vals = onehot @ table  # (R, 7)
+    kind = vals[:, 0]  # compared against float literals below
+    color = vals[:, 1:4]
+    params = vals[:, 4:7]
 
     # Sanitize each family's parameters on the rows where it is NOT selected:
     # jnp.where protects forward values but not backward partials — e.g.

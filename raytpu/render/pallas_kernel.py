@@ -70,17 +70,26 @@ def _pad_axis(x, axis, multiple, value):
 # ---------------------------------------------------------------------------
 
 
-def _fold_min_carry(t, carry, offset):
-    """Functional fold of a (RT, CT) masked t-matrix into (t_acc, idx_acc)
-    register carries; ``offset`` shifts lane ids into global numbering.
+def _fold_min_carry(t, payload, carry, offset):
+    """Functional fold of a (RT, CT) masked t-matrix into the register
+    carries ``(t, idx, nx, ny, nz, mat)``; ``offset`` shifts lane ids into
+    global numbering.  ``payload`` is ``(nx, ny, nz, mat)`` candidate values
+    ((1, CT) or (RT, CT)) selected for the winning lane — carrying the
+    payload through the kernel avoids slow XLA gathers afterwards.
     Strict < keeps earlier folds on ties (reference iteration order)."""
-    t_acc, idx_acc = carry
+    t_acc, idx_acc, *pay_acc = carry
     t_min = jnp.min(t, axis=1, keepdims=True)  # (RT,1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CT), 1)
     first = jnp.min(jnp.where(t == t_min, lane, BIG_I), axis=1, keepdims=True)
     gidx = first + offset
     better = t_min < t_acc
-    return (jnp.where(better, t_min, t_acc), jnp.where(better, gidx, idx_acc))
+    first_mask = lane == first  # exactly one lane per row
+    out = [jnp.where(better, t_min, t_acc), jnp.where(better, gidx, idx_acc)]
+    for acc, cand in zip(pay_acc, payload):
+        won = jnp.sum(jnp.where(first_mask, jnp.broadcast_to(cand, t.shape), 0.0),
+                      axis=1, keepdims=True)
+        out.append(jnp.where(better, won, acc))
+    return tuple(out)
 
 
 def _init_fold(t_ref, idx_ref, j):
@@ -122,7 +131,10 @@ def _sphere_fold(tmin, cols, s, carry, offset):
     inside = r2 >= perp2
     t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
     valid = inside & (t >= tmin) & (t <= tmax)
-    return _fold_min_carry(jnp.where(valid, t, INF), carry, offset)
+    # candidate normal = hit point - center (normalized later,
+    # reference: source/Scene.cpp:40)
+    payload = (rox + t * rdx - cx, roy + t * rdy - cy, roz + t * rdz - cz, s[4:5, :])
+    return _fold_min_carry(jnp.where(valid, t, INF), payload, carry, offset)
 
 
 def _plane_fold(tmin, cols, p, carry, offset):
@@ -135,7 +147,8 @@ def _plane_fold(tmin, cols, p, carry, offset):
     denom_nz = denom != 0.0
     t = num / jnp.where(denom_nz, denom, 1.0)
     valid = denom_nz & (t >= tmin) & (t < tmax)
-    return _fold_min_carry(jnp.where(valid, t, INF), carry, offset)
+    payload = (nx, ny, nz, p[4:5, :])
+    return _fold_min_carry(jnp.where(valid, t, INF), payload, carry, offset)
 
 
 def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
@@ -173,7 +186,8 @@ def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
     t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
     bary_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
     valid = not_parallel & ~culled & det_ok & bary_ok & (t >= tmin) & (t < tmax)
-    return _fold_min_carry(jnp.where(valid, t, INF), carry, offset)
+    payload = (nx, ny, nz, tr[13:14, :])
+    return _fold_min_carry(jnp.where(valid, t, INF), payload, carry, offset)
 
 
 # ---------------------------------------------------------------------------
@@ -204,16 +218,24 @@ def pack_spheres(spheres):
             spheres.center[:, 1],
             spheres.center[:, 2],
             spheres.radius * spheres.radius,
+            spheres.material.astype(jnp.float32),
         ]
-    )  # (4, S)
-    s = jnp.concatenate([s, jnp.zeros((4, s.shape[1]), jnp.float32)], axis=0)
-    return _pad_axis(s, 1, CT, -1.0)  # padded r2 = -1 < perp2 -> miss
+    )  # (5, S)
+    s = jnp.concatenate([s, jnp.zeros((3, s.shape[1]), jnp.float32)], axis=0)
+    # pad with r2 = -1 (< perp2 always) -> padded lanes miss; but padding
+    # value applies to ALL rows, so fix the r2 row after the pad
+    padded = _pad_axis(s, 1, CT, 0.0)
+    if padded.shape[1] != s.shape[1]:
+        r2_row = padded[3].at[s.shape[1]:].set(-1.0)
+        padded = padded.at[3].set(r2_row)
+    return padded
 
 
 def pack_planes(planes):
     d = jnp.sum(planes.origin * planes.normal, axis=1)
-    p = jnp.stack([planes.normal[:, 0], planes.normal[:, 1], planes.normal[:, 2], d])
-    p = jnp.concatenate([p, jnp.zeros((4, p.shape[1]), jnp.float32)], axis=0)
+    p = jnp.stack([planes.normal[:, 0], planes.normal[:, 1], planes.normal[:, 2], d,
+                   planes.material.astype(jnp.float32)])
+    p = jnp.concatenate([p, jnp.zeros((3, p.shape[1]), jnp.float32)], axis=0)
     return _pad_axis(p, 1, CT, 0.0)  # padded normal 0 -> denom 0 -> miss
 
 
@@ -226,9 +248,10 @@ def pack_triangles(tris):
         e2[:, 0], e2[:, 1], e2[:, 2],
         tris.normal[:, 0], tris.normal[:, 1], tris.normal[:, 2],
         tris.cull.astype(jnp.float32),
+        tris.material.astype(jnp.float32),
     ]
-    t = jnp.stack(rows)  # (13, T)
-    t = jnp.concatenate([t, jnp.zeros((3, t.shape[1]), jnp.float32)], axis=0)
+    t = jnp.stack(rows)  # (14, T)
+    t = jnp.concatenate([t, jnp.zeros((2, t.shape[1]), jnp.float32)], axis=0)
     return _pad_axis(t, 1, CT, 0.0)  # degenerate zero triangles miss
 
 
@@ -240,33 +263,39 @@ def _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled):
     precomputed cull matrix), so the per-grid-step pipeline overhead is paid
     once per ray tile instead of once per (tile, chunk)."""
 
-    def kernel(rays_ref, sph_ref, pl_ref, tri_ref, cull_ref, t_ref, idx_ref):
+    def kernel(rays_ref, sph_ref, pl_ref, tri_ref, cull_ref,
+               t_ref, idx_ref, nx_ref, ny_ref, nz_ref, mat_ref):
         cols = _ray_cols(rays_ref)
+        z = jnp.zeros((RT, 1), jnp.float32)
         carry = (
             jnp.full((RT, 1), INF, jnp.float32),
             jnp.full((RT, 1), BIG_I, jnp.int32),
+            z, z, z, z,
         )
         if S:
             carry = _sphere_fold(tmin, cols, sph_ref[:], carry, 0)
         if P:
             carry = _plane_fold(tmin, cols, pl_ref[:], carry, S)
         if T:
-            if nc == 1:
-                carry = _triangle_fold(tmin, shadow_pass, cols, tri_ref[:], carry, S + P)
-            else:
-                def body(c, carry):
-                    tr = tri_ref[:, pl.ds(c * CT, CT)]
+            # static unroll over chunks: nc is small and static; lax.cond
+            # skips a chunk's whole vector block when the cull matrix says
+            # no ray in this tile can hit its AABB
+            for c in range(nc):
+                tr = tri_ref[:, c * CT : (c + 1) * CT]
 
-                    def do(carry):
-                        return _triangle_fold(tmin, shadow_pass, cols, tr, carry, S + P + c * CT)
+                def do(carry, tr=tr, c=c):
+                    return _triangle_fold(tmin, shadow_pass, cols, tr, carry, S + P + c * CT)
 
-                    if culled:
-                        return jax.lax.cond(cull_ref[0, 0, c] > 0.0, do, lambda x: x, carry)
-                    return do(carry)
-
-                carry = jax.lax.fori_loop(0, nc, body, carry)
+                if culled:
+                    carry = jax.lax.cond(cull_ref[0, 0, c] > 0.0, do, lambda x: x, carry)
+                else:
+                    carry = do(carry)
         t_ref[:] = carry[0]
         idx_ref[:] = carry[1]
+        nx_ref[:] = carry[2]
+        ny_ref[:] = carry[3]
+        nz_ref[:] = carry[4]
+        mat_ref[:] = carry[5]
 
     return kernel
 
@@ -293,7 +322,7 @@ def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
         cull = jnp.ones((R // RT, nc), jnp.float32)
 
     interpret = _interpret or jax.default_backend() == "cpu"
-    t, idx = pl.pallas_call(
+    t, idx, nx, ny, nz, mat = pl.pallas_call(
         _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled),
         grid=(R // RT,),
         in_specs=[
@@ -304,31 +333,47 @@ def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(6)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
         ],
         interpret=interpret,
     )(rays, sph, pln, tri, cull[:, None, :])
-    return t[:, 0], idx[:, 0]
+    return t[:, 0], idx[:, 0], nx[:, 0], ny[:, 0], nz[:, 0], mat[:, 0]
 
 
 def closest_hit_pallas(scene: Scene, ro, rd, tmin) -> intersect.HitRecords:
     R = rd.shape[0]
     rays = pack_rays(ro, rd, INF)
-    t, idx = scene_min_t(scene, rays, float(tmin), shadow_pass=False)
-    return intersect.assemble_hit_records(
-        scene, jnp.broadcast_to(ro, rd.shape), rd, t[:R], idx[:R]
+    t, idx, nx, ny, nz, mat = scene_min_t(scene, rays, float(tmin), shadow_pass=False)
+    t, idx = t[:R], idx[:R]
+    normal = jnp.stack([nx[:R], ny[:R], nz[:R]], axis=1)
+    # sphere normals come out unnormalized (reference: source/Scene.cpp:40)
+    is_sphere = idx < scene.spheres.count
+    normal = jnp.where(is_sphere[:, None], math3d.normalize_safe(normal), normal)
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    return intersect.HitRecords(
+        hit=hit,
+        t=jnp.where(hit, t, INF),
+        point=ro_b + t_safe[:, None] * rd,
+        normal=normal,
+        material=mat[:R].astype(jnp.int32),
     )
 
 
 def any_hit_pallas(scene: Scene, ro, rd, tmin, tmax):
     R = rd.shape[0]
     rays = pack_rays(ro, rd, tmax)
-    t, _ = scene_min_t(scene, rays, float(tmin), shadow_pass=True)
+    t, *_ = scene_min_t(scene, rays, float(tmin), shadow_pass=True)
     return jnp.isfinite(t[:R])
 
 
