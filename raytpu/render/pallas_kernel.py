@@ -92,26 +92,6 @@ def _fold_min_carry(t, payload, carry, offset):
     return tuple(out)
 
 
-def _init_fold(t_ref, idx_ref, j):
-    @pl.when(j == 0)
-    def _():
-        t_ref[:] = jnp.full((RT, 1), INF, jnp.float32)
-        idx_ref[:] = jnp.full((RT, 1), BIG_I, jnp.int32)
-
-
-def _fold_min(t, t_ref, idx_ref, offset):
-    """Fold a (RT, CT) masked t-matrix into the per-ray accumulators;
-    ``offset`` shifts lane indices into the global primitive numbering.
-    Strict < keeps earlier folds on ties (reference iteration order)."""
-    t_min = jnp.min(t, axis=1, keepdims=True)  # (RT,1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CT), 1)
-    first = jnp.min(jnp.where(t == t_min, lane, BIG_I), axis=1, keepdims=True)
-    gidx = first + offset
-    better = t_min < t_ref[:]
-    idx_ref[:] = jnp.where(better, gidx, idx_ref[:])
-    t_ref[:] = jnp.where(better, t_min, t_ref[:])
-
-
 def _ray_cols(rays_ref):
     r = rays_ref[:]  # (RT, 8)
     cols = [r[:, i : i + 1] for i in range(7)]

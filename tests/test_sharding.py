@@ -84,3 +84,12 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_scaling_harness_runs():
+    from raytpu.parallel.scaling import scaling_report
+
+    rows = scaling_report(size=(64, 48), frames=1)
+    assert [r["devices"] for r in rows] == [1, 2, 4, 8]
+    assert all(r["primary_rays_per_s"] > 0 for r in rows)
+    assert rows[0]["efficiency"] == 1.0
