@@ -98,9 +98,10 @@ def _ray_cols(rays_ref):
     return cols  # rox roy roz rdx rdy rdz tmax
 
 
-def _sphere_fold(tmin, cols, s, carry, offset):
-    """Geometric sphere test, near root only (reference: source/Utils.h:52-71)."""
-    rox, roy, roz, rdx, rdy, rdz, tmax = cols  # s: (8, CT) values
+def _sphere_t_matrix(tmin, cols, s):
+    """Masked (RT, CT) sphere t-matrix (reference: source/Utils.h:52-71).
+    Also returns candidate payload builders (normal, material row)."""
+    rox, roy, roz, rdx, rdy, rdz, tmax = cols
     cx, cy, cz, r2 = (s[i : i + 1, :] for i in range(4))
     lx = cx - rox
     ly = cy - roy
@@ -111,30 +112,29 @@ def _sphere_fold(tmin, cols, s, carry, offset):
     inside = r2 >= perp2
     t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
     valid = inside & (t >= tmin) & (t <= tmax)
+    tm = jnp.where(valid, t, INF)
     # candidate normal = hit point - center (normalized later,
     # reference: source/Scene.cpp:40)
     payload = (rox + t * rdx - cx, roy + t * rdy - cy, roz + t * rdz - cz, s[4:5, :])
-    return _fold_min_carry(jnp.where(valid, t, INF), payload, carry, offset)
+    return tm, payload
 
 
-def _plane_fold(tmin, cols, p, carry, offset):
-    """t = (d - ro.n) / rd.n, valid on [tmin, tmax)
-    (reference: source/Utils.h:82-98)."""
-    rox, roy, roz, rdx, rdy, rdz, tmax = cols  # p: (8, CT) values
+def _plane_t_matrix(tmin, cols, p):
+    """Masked (RT, CT) plane t-matrix (reference: source/Utils.h:82-98)."""
+    rox, roy, roz, rdx, rdy, rdz, tmax = cols
     nx, ny, nz, d = (p[i : i + 1, :] for i in range(4))
     denom = rdx * nx + rdy * ny + rdz * nz
     num = d - (rox * nx + roy * ny + roz * nz)
     denom_nz = denom != 0.0
     t = num / jnp.where(denom_nz, denom, 1.0)
     valid = denom_nz & (t >= tmin) & (t < tmax)
-    payload = (nx, ny, nz, p[4:5, :])
-    return _fold_min_carry(jnp.where(valid, t, INF), payload, carry, offset)
+    return jnp.where(valid, t, INF), (nx, ny, nz, p[4:5, :])
 
 
-def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
-    """Möller–Trumbore with per-triangle cull modes; shadow rays swap
-    front/back culling (reference: source/Utils.h:109-184)."""
-    rox, roy, roz, rdx, rdy, rdz, tmax = cols  # tr: (16, CT) values
+def _triangle_t_matrix(tmin, shadow_pass, cols, tr):
+    """Masked (RT, CT) Möller–Trumbore t-matrix with per-triangle cull modes;
+    shadow rays swap front/back culling (reference: source/Utils.h:109-184)."""
+    rox, roy, roz, rdx, rdy, rdz, tmax = cols
     v0x, v0y, v0z = (tr[i : i + 1, :] for i in range(3))
     e1x, e1y, e1z = (tr[i : i + 1, :] for i in range(3, 6))
     e2x, e2y, e2z = (tr[i : i + 1, :] for i in range(6, 9))
@@ -166,18 +166,27 @@ def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
     t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
     bary_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
     valid = not_parallel & ~culled & det_ok & bary_ok & (t >= tmin) & (t < tmax)
-    payload = (nx, ny, nz, tr[13:14, :])
-    return _fold_min_carry(jnp.where(valid, t, INF), payload, carry, offset)
+    return jnp.where(valid, t, INF), (nx, ny, nz, tr[13:14, :])
 
 
-# ---------------------------------------------------------------------------
-# pallas_call wrappers
-# ---------------------------------------------------------------------------
+def _sphere_fold(tmin, cols, s, carry, offset):
+    tm, payload = _sphere_t_matrix(tmin, cols, s)
+    return _fold_min_carry(tm, payload, carry, offset)
 
 
-# ---------------------------------------------------------------------------
-# Host-side packing
-# ---------------------------------------------------------------------------
+def _plane_fold(tmin, cols, p, carry, offset):
+    tm, payload = _plane_t_matrix(tmin, cols, p)
+    return _fold_min_carry(tm, payload, carry, offset)
+
+
+def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
+    tm, payload = _triangle_t_matrix(tmin, shadow_pass, cols, tr)
+    return _fold_min_carry(tm, payload, carry, offset)
+
+
+def _fold_any(tm, occ):
+    """Payload-free any-hit fold: occ (RT,1) f32 |= any finite t in the chunk."""
+    return jnp.maximum(occ, jnp.max(jnp.where(jnp.isfinite(tm), 1.0, 0.0), axis=1, keepdims=True))
 
 
 def pack_rays(ro, rd, tmax):
@@ -327,6 +336,105 @@ def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
         interpret=interpret,
     )(rays, sph, pln, tri, cull[:, None, :])
     return t[:, 0], idx[:, 0], nx[:, 0], ny[:, 0], nz[:, 0], mat[:, 0]
+
+
+def _make_shadow_kernel(tmin, S, P, T, nc, culled, L):
+    """Fused any-hit kernel for ALL lights of a frame: one launch computes
+    every light's occlusion for a ray tile, encoded as a bitmask in one f32
+    output (bit li = light li occluded).  Payload-free folds (no argmin, no
+    normal/material selects) — shadow rays only need a boolean
+    (reference: source/Scene.cpp:68-96)."""
+
+    def kernel(orig_ref, dirs_ref, sph_ref, pl_ref, tri_ref, cull_ref, occ_ref):
+        o = orig_ref[:]  # (RT, 8): [ox oy oz ...]
+        bits = jnp.zeros((RT, 1), jnp.float32)
+        for li in range(L):
+            d = dirs_ref[:, 4 * li : 4 * li + 4]  # (RT,4): [lx ly lz mag]
+            cols = (
+                o[:, 0:1], o[:, 1:2], o[:, 2:3],
+                d[:, 0:1], d[:, 1:2], d[:, 2:3], d[:, 3:4],
+            )
+            occ = jnp.zeros((RT, 1), jnp.float32)
+            if S:
+                occ = _fold_any(_sphere_t_matrix(tmin, cols, sph_ref[:])[0], occ)
+            if P:
+                occ = _fold_any(_plane_t_matrix(tmin, cols, pl_ref[:])[0], occ)
+            if T:
+                for c in range(nc):
+                    tr = tri_ref[:, c * CT : (c + 1) * CT]
+
+                    def do(occ, tr=tr):
+                        return _fold_any(_triangle_t_matrix(tmin, True, cols, tr)[0], occ)
+
+                    if culled:
+                        occ = jax.lax.cond(
+                            cull_ref[0, 0, li * nc + c] > 0.0, do, lambda x: x, occ
+                        )
+                    else:
+                        occ = do(occ)
+            bits = bits + occ * float(1 << li)
+        occ_ref[:] = bits
+
+    return kernel
+
+
+def any_hit_lights_pallas(scene: Scene, ro, dirs, mags, tmin):
+    """Occlusion for all L lights in one kernel launch.
+
+    ro (R,3) shared shadow origins; dirs (L,R,3); mags (L,R).
+    Returns (L, R) bool.
+    """
+    from raytpu.ops import accel
+
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    tmin = float(tmin)
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    sph = pack_spheres(scene.spheres) if S else jnp.zeros((8, CT), jnp.float32)
+    pln = pack_planes(scene.planes) if P else jnp.zeros((8, CT), jnp.float32)
+    tri = pack_triangles(scene.triangles) if T else jnp.zeros((16, CT), jnp.float32)
+    nc = tri.shape[1] // CT if T else 1
+    culled = T >= CULL_MIN_TRIS
+
+    orig = _pad_axis(
+        jnp.concatenate([ro, jnp.zeros((R, 5), jnp.float32)], axis=1), 0, RT, 0.0
+    )  # (Rp, 8)
+    dirs_flat = jnp.concatenate(
+        [jnp.concatenate([dirs[li], mags[li][:, None]], axis=1) for li in range(L)],
+        axis=1,
+    )  # (R, 4L)
+    dirs_flat = _pad_axis(dirs_flat, 0, RT, 0.0)
+    Rp = orig.shape[0]
+
+    if culled:
+        culls = []
+        for li in range(L):
+            rays_li = pack_rays(ro, dirs[li], mags[li])
+            rb = accel.ray_tile_bounds(rays_li[:, 0:3], rays_li[:, 3:6], rays_li[:, 6], tile=RT)
+            lo, hi = accel.chunk_bounds(scene.triangles, CT)
+            culls.append(accel.cull_matrix(rb, lo, hi, tmin))
+        cull = jnp.concatenate(culls, axis=1)  # (nr, L*nc)
+    else:
+        cull = jnp.ones((Rp // RT, L * nc), jnp.float32)
+
+    interpret = _interpret or jax.default_backend() == "cpu"
+    occ_bits = pl.pallas_call(
+        _make_shadow_kernel(tmin, S, P, T, nc, culled, L),
+        grid=(Rp // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 4 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tri.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L * nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+        interpret=interpret,
+    )(orig, dirs_flat, sph, pln, tri, cull[:, None, :])
+    bits = occ_bits[:R, 0].astype(jnp.int32)
+    return jnp.stack([(bits & (1 << li)) > 0 for li in range(L)])
 
 
 def closest_hit_pallas(scene: Scene, ro, rd, tmin) -> intersect.HitRecords:
@@ -738,7 +846,10 @@ def render_image_mega_f32(scene: Scene, config: RenderConfig):
 
 def shade_rays(scene: Scene, ro, rd, config: RenderConfig):
     return _renderer.shade_rays(
-        scene, ro, rd, config, closest_fn=closest_hit_pallas, any_fn=any_hit_pallas
+        scene, ro, rd, config,
+        closest_fn=closest_hit_pallas,
+        any_fn=any_hit_pallas,
+        any_multi_fn=any_hit_lights_pallas,
     )
 
 

@@ -47,13 +47,15 @@ def generate_rays(camera, config: RenderConfig):
     return camera.origin, d.reshape(-1, 3)
 
 
-def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_fn=None):
+def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_fn=None, any_multi_fn=None):
     """Full per-ray pipeline for a batch of rays: closest hit, per-light shadow
     + lighting-mode shading, shadow dimming, tone map.  Returns (N,3) f32 in
     [0,1] (pre-quantization).  ``ro`` is (3,) or (N,3).
 
     ``closest_fn``/``any_fn`` select the intersection backend (default: the
     batched jnp ops; raytpu.render.pallas_kernel passes its fused kernels).
+    ``any_multi_fn(scene, p_off, dirs (L,R,3), mags (L,R), tmin) -> (L,R)``
+    computes every light's occlusion in one fused pass when provided.
     """
     closest_fn = closest_fn or intersect.closest_hit
     any_fn = any_fn or intersect.any_hit
@@ -69,8 +71,19 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
     shadow_factor = jnp.ones((n,), jnp.float32)
     mode = config.lighting_mode
 
+    light_dirs = [shading.direction_to_light(scene.lights, li, p_off) for li in range(scene.lights.count)]
+    occ_multi = None
+    if any_multi_fn is not None and config.shadows and not config.soft_shadows and light_dirs:
+        occ_multi = any_multi_fn(
+            scene,
+            p_off,
+            jnp.stack([l for l, _ in light_dirs]),
+            jnp.stack([m for _, m in light_dirs]),
+            config.ray_min,
+        )
+
     for li in range(scene.lights.count):
-        l, mag = shading.direction_to_light(scene.lights, li, p_off)
+        l, mag = light_dirs[li]
         if config.shadows and config.soft_shadows:
             # differentiable transmittance in [0,1]; hard limit as beta->inf
             trans = intersect.soft_transmittance(
@@ -78,7 +91,7 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
             )
             trans = jnp.where(rec.hit, trans, 1.0)
         elif config.shadows:
-            occluded = any_fn(scene, p_off, l, config.ray_min, mag)
+            occluded = occ_multi[li] if occ_multi is not None else any_fn(scene, p_off, l, config.ray_min, mag)
             trans = jnp.where(occluded & rec.hit, 0.0, 1.0)
         else:
             trans = jnp.ones((n,), jnp.float32)
