@@ -867,11 +867,18 @@ def _tile_permutation(h: int, w: int, th: int = 16, tw: int = 32):
     return perm, inv  # numpy: safe to cache across jit traces
 
 
+#: Largest triangle count kept fully VMEM-resident by the fused kernels;
+#: beyond this the jnp (HBM-chunked) path takes over.
+MAX_VMEM_TRIS = 32768
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def render_image_f32(scene: Scene, config: RenderConfig):
     nprims = scene.num_primitives
     if nprims <= MEGA_MAX_PRIMS and scene.lights.count <= MEGA_MAX_LIGHTS and not config.soft_shadows:
         return render_image_mega_f32(scene, config)
+    if scene.triangles.count > MAX_VMEM_TRIS:
+        return _renderer.render_image_f32(scene, config)
     ro, rd = _renderer.generate_rays(scene.camera, config)
     tiling = _tile_permutation(config.height, config.width)
     if tiling is not None:

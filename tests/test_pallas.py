@@ -90,3 +90,40 @@ def test_chunked_closest_hit_records_match():
     np.testing.assert_array_equal(np.asarray(a.material), np.asarray(b.material))
     # t agrees to a couple f32 ulps (XLA's dot reduction order differs)
     np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5)
+
+
+def test_huge_mesh_falls_back_to_jnp():
+    # a synthetic mesh past the VMEM-resident cap must still render (fallback)
+    import jax.numpy as jnp
+
+    from raytpu.core.types import CullMode, SceneBuilder
+
+    rng = np.random.default_rng(0)
+    n = pk.MAX_VMEM_TRIS + 256
+    base = rng.uniform(-3, 3, (n, 1, 3))
+    tris = (base + rng.uniform(-0.05, 0.05, (n, 3, 3))).astype(np.float32)
+    b = SceneBuilder()
+    white = b.add_lambert((1.0, 1.0, 1.0), 1.0)
+    m = b.add_triangle_mesh(CullMode.NONE, white)
+    m.set_geometry(tris.reshape(-1, 3), np.arange(3 * n, dtype=np.int32))
+    b.add_point_light((0.0, 0.0, -5.0), 50.0, (1, 1, 1))
+    b.set_camera((0, 0, -8), fov_degrees=60.0)
+    scene = b.build()
+    img = np.asarray(pk.render_image(scene, RenderConfig(width=16, height=12)))
+    assert img.shape == (12, 16, 3) and img.any()
+
+
+def test_bundled_icosphere_asset_renders():
+    from raytpu.core import obj
+    from raytpu.core.types import CullMode, SceneBuilder
+
+    pos, nrm, idx = obj.parse_obj("icosphere.obj")
+    b = SceneBuilder()
+    white = b.add_lambert((0.9, 0.9, 0.9), 1.0)
+    m = b.add_triangle_mesh(CullMode.BACK_FACE, white)
+    m.set_geometry(pos, idx, nrm)
+    b.add_point_light((2.0, 2.0, -4.0), 30.0, (1, 1, 1))
+    b.set_camera((0, 0, -4), fov_degrees=45.0)
+    scene = b.build()
+    img = np.asarray(pk.render_image(scene, SMALL))
+    assert img.any()
