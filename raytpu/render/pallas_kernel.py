@@ -98,6 +98,31 @@ def _ray_cols(rays_ref):
     return cols  # rox roy roz rdx rdy rdz tmax
 
 
+def _fold_min_refs(tm, payload, refs, offset):
+    """Ref-mutating min-fold: accumulators live in the kernel's output refs,
+    so a chunk skipped by pl.when costs nothing (lax.cond carries would copy
+    every accumulator register through both branches per chunk)."""
+    t_ref, idx_ref, nx_ref, ny_ref, nz_ref, m_ref = refs
+    t_min = jnp.min(tm, axis=1, keepdims=True)  # (RT,1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+    first = jnp.min(jnp.where(tm == t_min, lane, BIG_I), axis=1, keepdims=True)
+    first_mask = lane == first
+    better = t_min < t_ref[:]
+    t_ref[:] = jnp.where(better, t_min, t_ref[:])
+    idx_ref[:] = jnp.where(better, first + offset, idx_ref[:])
+    for ref, cand in zip((nx_ref, ny_ref, nz_ref, m_ref), payload):
+        won = jnp.sum(jnp.where(first_mask, jnp.broadcast_to(cand, tm.shape), 0.0),
+                      axis=1, keepdims=True)
+        ref[:] = jnp.where(better, won, ref[:])
+
+
+def _fold_any_ref(tm, occ_ref):
+    """Ref-mutating any-hit fold."""
+    occ_ref[:] = jnp.maximum(
+        occ_ref[:], jnp.max(jnp.where(jnp.isfinite(tm), 1.0, 0.0), axis=1, keepdims=True)
+    )
+
+
 def _sphere_t_matrix(tmin, cols, s):
     """Masked (RT, CT) sphere t-matrix (reference: source/Utils.h:52-71).
     Also returns candidate payload builders (normal, material row)."""
@@ -255,36 +280,31 @@ def _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled):
     def kernel(rays_ref, sph_ref, pl_ref, tri_ref, cull_ref,
                t_ref, idx_ref, nx_ref, ny_ref, nz_ref, mat_ref):
         cols = _ray_cols(rays_ref)
-        z = jnp.zeros((RT, 1), jnp.float32)
-        carry = (
-            jnp.full((RT, 1), INF, jnp.float32),
-            jnp.full((RT, 1), BIG_I, jnp.int32),
-            z, z, z, z,
-        )
+        refs = (t_ref, idx_ref, nx_ref, ny_ref, nz_ref, mat_ref)
+        t_ref[:] = jnp.full((RT, 1), INF, jnp.float32)
+        idx_ref[:] = jnp.full((RT, 1), BIG_I, jnp.int32)
+        for r in refs[2:]:
+            r[:] = jnp.zeros((RT, 1), jnp.float32)
         if S:
-            carry = _sphere_fold(tmin, cols, sph_ref[:], carry, 0)
+            tm, pay = _sphere_t_matrix(tmin, cols, sph_ref[:])
+            _fold_min_refs(tm, pay, refs, 0)
         if P:
-            carry = _plane_fold(tmin, cols, pl_ref[:], carry, S)
+            tm, pay = _plane_t_matrix(tmin, cols, pl_ref[:])
+            _fold_min_refs(tm, pay, refs, S)
         if T:
-            # static unroll over chunks: nc is small and static; lax.cond
-            # skips a chunk's whole vector block when the cull matrix says
-            # no ray in this tile can hit its AABB
+            # static unroll over chunks; pl.when + ref mutation makes a
+            # culled chunk genuinely free (no accumulator copies)
             for c in range(nc):
-                tr = tri_ref[:, c * CT : (c + 1) * CT]
-
-                def do(carry, tr=tr, c=c):
-                    return _triangle_fold(tmin, shadow_pass, cols, tr, carry, S + P + c * CT)
+                def do(c=c):
+                    tm, pay = _triangle_t_matrix(
+                        tmin, shadow_pass, cols, tri_ref[:, c * CT : (c + 1) * CT]
+                    )
+                    _fold_min_refs(tm, pay, refs, S + P + c * CT)
 
                 if culled:
-                    carry = jax.lax.cond(cull_ref[0, 0, c] > 0.0, do, lambda x: x, carry)
+                    pl.when(cull_ref[0, 0, c] > 0.0)(do)
                 else:
-                    carry = do(carry)
-        t_ref[:] = carry[0]
-        idx_ref[:] = carry[1]
-        nx_ref[:] = carry[2]
-        ny_ref[:] = carry[3]
-        nz_ref[:] = carry[4]
-        mat_ref[:] = carry[5]
+                    do()
 
     return kernel
 
@@ -345,35 +365,33 @@ def _make_shadow_kernel(tmin, S, P, T, nc, culled, L):
     normal/material selects) — shadow rays only need a boolean
     (reference: source/Scene.cpp:68-96)."""
 
-    def kernel(orig_ref, dirs_ref, sph_ref, pl_ref, tri_ref, cull_ref, occ_ref):
+    def kernel(orig_ref, dirs_ref, sph_ref, pl_ref, tri_ref, cull_ref, occ_ref, occ_scratch):
         o = orig_ref[:]  # (RT, 8): [ox oy oz ...]
-        bits = jnp.zeros((RT, 1), jnp.float32)
+        occ_ref[:] = jnp.zeros((RT, 1), jnp.float32)
         for li in range(L):
             d = dirs_ref[:, 4 * li : 4 * li + 4]  # (RT,4): [lx ly lz mag]
             cols = (
                 o[:, 0:1], o[:, 1:2], o[:, 2:3],
                 d[:, 0:1], d[:, 1:2], d[:, 2:3], d[:, 3:4],
             )
-            occ = jnp.zeros((RT, 1), jnp.float32)
+            occ_scratch[:] = jnp.zeros((RT, 1), jnp.float32)
             if S:
-                occ = _fold_any(_sphere_t_matrix(tmin, cols, sph_ref[:])[0], occ)
+                _fold_any_ref(_sphere_t_matrix(tmin, cols, sph_ref[:])[0], occ_scratch)
             if P:
-                occ = _fold_any(_plane_t_matrix(tmin, cols, pl_ref[:])[0], occ)
+                _fold_any_ref(_plane_t_matrix(tmin, cols, pl_ref[:])[0], occ_scratch)
             if T:
                 for c in range(nc):
-                    tr = tri_ref[:, c * CT : (c + 1) * CT]
-
-                    def do(occ, tr=tr):
-                        return _fold_any(_triangle_t_matrix(tmin, True, cols, tr)[0], occ)
+                    def do(c=c, cols=cols):
+                        _fold_any_ref(
+                            _triangle_t_matrix(tmin, True, cols, tri_ref[:, c * CT : (c + 1) * CT])[0],
+                            occ_scratch,
+                        )
 
                     if culled:
-                        occ = jax.lax.cond(
-                            cull_ref[0, 0, li * nc + c] > 0.0, do, lambda x: x, occ
-                        )
+                        pl.when(cull_ref[0, 0, li * nc + c] > 0.0)(do)
                     else:
-                        occ = do(occ)
-            bits = bits + occ * float(1 << li)
-        occ_ref[:] = bits
+                        do()
+            occ_ref[:] = occ_ref[:] + occ_scratch[:] * float(1 << li)
 
     return kernel
 
@@ -431,6 +449,7 @@ def any_hit_lights_pallas(scene: Scene, ro, dirs, mags, tmin):
         ],
         out_specs=pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RT, 1), jnp.float32)],
         interpret=interpret,
     )(orig, dirs_flat, sph, pln, tri, cull[:, None, :])
     bits = occ_bits[:R, 0].astype(jnp.int32)
