@@ -45,6 +45,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark-out", default="benchmark.txt", help="benchmark report path")
     p.add_argument("--watch", action="store_true", help="print FPS once per second")
     p.add_argument("--renderer", default="auto", choices=["auto", "jnp", "pallas"], help="forward-path implementation")
+    p.add_argument("--ssaa", type=int, default=1, metavar="N", help="NxN supersampling per pixel")
     p.add_argument("--time", type=float, default=0.0, help="animation start time (seconds)")
     p.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu, tpu)")
     return p
@@ -91,7 +92,17 @@ def main(argv=None) -> int:
     spec = scenes.get(args.scene)
     scene = spec.build()
     render_fn, backend = make_render_fn(args.renderer)
-    print(f"raytpu: scene={args.scene} {w}x{h} mode={args.mode} shadows={config.shadows} backend={backend}")
+    if args.ssaa > 1:
+        import functools as _ft
+
+        from raytpu.render import pallas_kernel as _pk
+        from raytpu.render.renderer import render_image_ssaa
+        from raytpu.render.renderer import render_image_f32 as _jnp_f32
+
+        base_f32 = _pk.render_image_f32 if backend == "pallas" else _jnp_f32
+        render_fn = _ft.partial(render_image_ssaa, samples=args.ssaa, render_fn=base_f32)
+    print(f"raytpu: scene={args.scene} {w}x{h} mode={args.mode} shadows={config.shadows} "
+          f"backend={backend} ssaa={args.ssaa}")
 
     # warm-up / compile
     t0 = time.perf_counter()

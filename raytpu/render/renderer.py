@@ -161,3 +161,20 @@ def render_image(scene: Scene, config: RenderConfig):
     """(H, W, 3) uint8 image — truncating quantization like the reference's
     ``static_cast<uint8_t>(c*255)`` (reference: source/Renderer.cpp:178-181)."""
     return math3d.quantize_u8(render_image_f32(scene, config))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "samples", "render_fn"))
+def render_image_ssaa(scene: Scene, config: RenderConfig, samples: int = 2, render_fn=None):
+    """Supersampled render: trace a ``samples x samples`` grid per pixel and
+    box-filter (a capability the reference lacks — it traces one center ray,
+    reference: source/Renderer.cpp:104-108).  Works with any backend's
+    ``render_image_f32`` via ``render_fn``.  Returns (H, W, 3) uint8."""
+    import dataclasses
+
+    render_fn = render_fn or render_image_f32
+    hi = dataclasses.replace(
+        config, width=config.width * samples, height=config.height * samples
+    )
+    img = render_fn(scene, hi)
+    img = img.reshape(config.height, samples, config.width, samples, 3).mean(axis=(1, 3))
+    return math3d.quantize_u8(img)

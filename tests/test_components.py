@@ -148,3 +148,19 @@ def test_large_mesh_is_morton_ordered():
     raw = pos[idx.reshape(-1, 3)[:, 0]] * 2.0
     b = np.sort(raw, axis=0)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_ssaa_reduces_edge_aliasing():
+    import jax
+
+    from raytpu.core.types import RenderConfig
+    from raytpu.render.renderer import render_image, render_image_ssaa
+
+    scene = scenes.get("w2").build()
+    cfg = RenderConfig(width=32, height=24)
+    plain = np.asarray(render_image(scene, cfg)).astype(int)
+    ssaa = np.asarray(render_image_ssaa(scene, cfg, samples=2)).astype(int)
+    assert ssaa.shape == plain.shape
+    # supersampling smooths edges: images differ but agree in the mean
+    assert (np.abs(ssaa - plain) > 0).any()
+    assert abs(ssaa.mean() - plain.mean()) < 8.0
