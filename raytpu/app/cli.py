@@ -88,6 +88,9 @@ def main(argv=None) -> int:
     if w <= 0 or h <= 0:
         print(f"error: --size must be positive (got {args.size!r})", file=sys.stderr)
         return 2
+    if args.ssaa < 1:
+        print(f"error: --ssaa must be >= 1 (got {args.ssaa})", file=sys.stderr)
+        return 2
     config = RenderConfig(width=w, height=h, lighting_mode=_MODES[args.mode], shadows=not args.no_shadows)
     spec = scenes.get(args.scene)
     scene = spec.build()
