@@ -229,7 +229,36 @@ def scene_w4_optional() -> Scene:
     return b.build()
 
 
+def scene_single_sphere() -> Scene:
+    """BASELINE config 1: one Lambert sphere + one point light."""
+    b = SceneBuilder()
+    lam = b.add_lambert((0.8, 0.2, 0.2), 1.0)
+    b.add_sphere((0.0, 0.0, 3.0), 1.0, lam)
+    b.add_point_light((2.0, 2.0, 0.0), 25.0, WHITE)
+    b.set_camera((0.0, 0.0, -2.0), fov_degrees=45.0)
+    return b.build()
+
+
+def scene_phong() -> Scene:
+    """BASELINE config 2: multi-sphere + plane with Phong specular and hard
+    shadows."""
+    b = SceneBuilder()
+    floor = b.add_lambert((0.5, 0.5, 0.5), 1.0)
+    lp1 = b.add_lambert_phong((0.2, 0.2, 0.9), 0.6, 0.6, 20.0)
+    lp2 = b.add_lambert_phong((0.9, 0.4, 0.1), 0.6, 0.8, 60.0)
+    b.add_plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0), floor)
+    b.add_sphere((-1.2, 0.0, 4.0), 1.0, lp1)
+    b.add_sphere((1.2, 0.0, 4.5), 1.0, lp2)
+    b.add_sphere((0.0, 1.6, 5.5), 0.8, lp1)
+    b.add_point_light((0.0, 5.0, 0.0), 60.0, WHITE)
+    b.add_point_light((-3.0, 3.0, 2.0), 30.0, (1.0, 0.8, 0.6))
+    b.set_camera((0.0, 1.0, -2.0), fov_degrees=55.0)
+    return b.build()
+
+
 REGISTRY: dict[str, SceneSpec] = {
+    "sphere": SceneSpec(scene_single_sphere, _static, "1 Lambert sphere + 1 light (BASELINE config 1)"),
+    "phong": SceneSpec(scene_phong, _static, "spheres + plane, Phong + hard shadows (BASELINE config 2)"),
     "w1": SceneSpec(scene_w1, _static, "2 spheres + 5 planes, solid colors"),
     "w2": SceneSpec(scene_w2, _static, "6 spheres + box + 1 point light"),
     "w3_test": SceneSpec(scene_w3_test, _static, "Lambert/LambertPhong spheres"),

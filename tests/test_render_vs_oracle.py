@@ -78,3 +78,8 @@ def test_chunked_render_matches_unchunked():
     a = np.asarray(render_image(scene, RenderConfig(width=W, height=H, ray_chunk=256)))
     b = np.asarray(render_image(scene, RenderConfig(width=W, height=H)))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", ["sphere", "phong"])
+def test_baseline_config_scenes_match_oracle(name):
+    _compare(_scene(name), RenderConfig(width=W, height=H))
