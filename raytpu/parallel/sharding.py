@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raytpu.core import math3d
@@ -179,7 +179,7 @@ def render_pixels_shard_map(scene: Scene, config: RenderConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(rest_spec, tri_spec, P("px", None)),
         out_specs=P("px", None),
-        check_rep=False,
+        check_vma=False,
     )
     def kernel(scene_rest_l, tris_l, rd_l):
         scene_l = dataclasses.replace(scene_rest_l, triangles=tris_l)

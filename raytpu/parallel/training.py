@@ -14,7 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from raytpu.core.types import RenderConfig, Scene
@@ -74,7 +74,7 @@ def make_sharded_train_step(config: RenderConfig, optimizer, param_fn, merge_fn,
             mesh=mesh,
             in_specs=(params_spec, scene_spec, P("px", None), P("px", None)),
             out_specs=(P(), params_spec),
-            check_rep=False,
+            check_vma=False,
         )(params, scene, rd_p, tgt_p)
 
         updates, opt_state = optimizer.update(grads, opt_state, params)
