@@ -83,3 +83,24 @@ def test_chunked_render_matches_unchunked():
 @pytest.mark.parametrize("name", ["sphere", "phong"])
 def test_baseline_config_scenes_match_oracle(name):
     _compare(_scene(name), RenderConfig(width=W, height=H))
+
+
+def test_directional_light_matches_oracle():
+    # the reference's directional branch is dead code with a latent bug
+    # (reference: source/Utils.h:348); we implement it correctly and pin the
+    # behavior with oracle parity
+    from raytpu.core.types import SceneBuilder
+
+    b = SceneBuilder()
+    lam = b.add_lambert((0.8, 0.7, 0.6), 1.0)
+    floor = b.add_lambert((0.4, 0.45, 0.5), 1.0)
+    b.add_plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0), floor)
+    b.add_sphere((0.0, 0.0, 4.0), 1.0, lam)
+    b.add_directional_light((0.3, -1.0, 0.2), 2.5, (1.0, 0.95, 0.9))
+    b.set_camera((0.0, 0.5, -2.0), fov_degrees=50.0)
+    scene = b.build()
+    _compare(scene, RenderConfig(width=W, height=H))
+    # directional shadow: the sphere must darken the floor behind it
+    img = np.asarray(render_image(scene, RenderConfig(width=64, height=48)))
+    no_shadow = np.asarray(render_image(scene, RenderConfig(width=64, height=48, shadows=False)))
+    assert (img.astype(int) < no_shadow.astype(int)).any()
