@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="reference")
     p.add_argument("--size", default="640x480")
-    p.add_argument("--frames", type=int, default=32, help="frames per timed dispatch")
+    p.add_argument("--frames", type=int, default=64, help="frames per timed dispatch")
     p.add_argument("--repeats", type=int, default=3, help="timed dispatches (best taken)")
     p.add_argument("--platform", default=None)
     p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
