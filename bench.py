@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     p.add_argument("--grad", action="store_true",
                    help="benchmark fwd+bwd (soft-shadow inverse-rendering steps) instead of forward")
+    p.add_argument("--stages", action="store_true",
+                   help="print a per-stage (raygen/closest/shadow/shade) ms breakdown to stderr")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of one timed dispatch into DIR")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -96,6 +100,21 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         float(bench_n_frames(scene, args.frames))
         best = min(best, time.perf_counter() - t0)
+
+    if args.trace:
+        from raytpu.utils.profiling import trace
+
+        with trace(args.trace):
+            float(bench_n_frames(scene, args.frames))
+        print(f"profiler trace written to {args.trace}", file=sys.stderr)
+
+    if args.stages:
+        from raytpu.utils.stage_profile import format_report, profile_stages
+
+        spec = scenes.get(args.scene)
+        report = profile_stages(spec, scene, config, pallas=(backend == "pallas"),
+                                frames=min(args.frames, 16))
+        print(format_report(report), file=sys.stderr)
 
     fps = args.frames / best
     rays_per_s = fps * num_rays

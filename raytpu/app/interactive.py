@@ -63,6 +63,7 @@ def main(argv=None) -> int:
     timer = FrameTimer()
     bench = Benchmark(10)
     frames = 0
+    frame = None  # last rendered frame (None until the first render)
     print(f"raytpu interactive: {args.scene} {w}x{h} backend={backend}")
     running = True
     while running:
@@ -73,10 +74,13 @@ def main(argv=None) -> int:
                 if event.key == pygame.K_ESCAPE:
                     running = False
                 elif event.key == pygame.K_x:
-                    from raytpu.utils.image import write_bmp
+                    if frame is None:
+                        print("screenshot skipped: no frame rendered yet")
+                    else:
+                        from raytpu.utils.image import write_bmp
 
-                    write_bmp("RayTracing_Buffer.bmp", frame)
-                    print("screenshot saved: RayTracing_Buffer.bmp")
+                        write_bmp("RayTracing_Buffer.bmp", frame)
+                        print("screenshot saved: RayTracing_Buffer.bmp")
                 elif event.key == pygame.K_F2:
                     config = dataclasses.replace(config, shadows=not config.shadows)
                     print(f"shadows: {config.shadows}")

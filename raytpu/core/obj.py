@@ -16,13 +16,14 @@ from pathlib import Path
 
 import numpy as np
 
-#: Directories searched for OBJ assets, in order.  RAYTPU_ASSETS overrides;
-#: the reference's Resources directory is used when present so the course
-#: scenes load the exact same meshes.
+#: Directories searched for OBJ assets, in order: RAYTPU_ASSETS override,
+#: then the bundled assets (the course meshes ship with the package), then an
+#: optional extra directory (e.g. a reference checkout's Resources) via
+#: RAYTPU_EXTRA_ASSETS.
 _ASSET_DIRS = [
     os.environ.get("RAYTPU_ASSETS", ""),
-    "/root/reference/source/Resources",
-    str(Path(__file__).resolve().parent.parent / "assets"),  # bundled fallback
+    str(Path(__file__).resolve().parent.parent / "assets"),
+    os.environ.get("RAYTPU_EXTRA_ASSETS", ""),
 ]
 
 

@@ -70,28 +70,6 @@ def _pad_axis(x, axis, multiple, value):
 # ---------------------------------------------------------------------------
 
 
-def _fold_min_carry(t, payload, carry, offset):
-    """Functional fold of a (RT, CT) masked t-matrix into the register
-    carries ``(t, idx, nx, ny, nz, mat)``; ``offset`` shifts lane ids into
-    global numbering.  ``payload`` is ``(nx, ny, nz, mat)`` candidate values
-    ((1, CT) or (RT, CT)) selected for the winning lane — carrying the
-    payload through the kernel avoids slow XLA gathers afterwards.
-    Strict < keeps earlier folds on ties (reference iteration order)."""
-    t_acc, idx_acc, *pay_acc = carry
-    t_min = jnp.min(t, axis=1, keepdims=True)  # (RT,1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CT), 1)
-    first = jnp.min(jnp.where(t == t_min, lane, BIG_I), axis=1, keepdims=True)
-    gidx = first + offset
-    better = t_min < t_acc
-    first_mask = lane == first  # exactly one lane per row
-    out = [jnp.where(better, t_min, t_acc), jnp.where(better, gidx, idx_acc)]
-    for acc, cand in zip(pay_acc, payload):
-        won = jnp.sum(jnp.where(first_mask, jnp.broadcast_to(cand, t.shape), 0.0),
-                      axis=1, keepdims=True)
-        out.append(jnp.where(better, won, acc))
-    return tuple(out)
-
-
 def _ray_cols(rays_ref):
     r = rays_ref[:]  # (RT, 8)
     cols = [r[:, i : i + 1] for i in range(7)]
@@ -192,26 +170,6 @@ def _triangle_t_matrix(tmin, shadow_pass, cols, tr):
     bary_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
     valid = not_parallel & ~culled & det_ok & bary_ok & (t >= tmin) & (t < tmax)
     return jnp.where(valid, t, INF), (nx, ny, nz, tr[13:14, :])
-
-
-def _sphere_fold(tmin, cols, s, carry, offset):
-    tm, payload = _sphere_t_matrix(tmin, cols, s)
-    return _fold_min_carry(tm, payload, carry, offset)
-
-
-def _plane_fold(tmin, cols, p, carry, offset):
-    tm, payload = _plane_t_matrix(tmin, cols, p)
-    return _fold_min_carry(tm, payload, carry, offset)
-
-
-def _triangle_fold(tmin, shadow_pass, cols, tr, carry, offset):
-    tm, payload = _triangle_t_matrix(tmin, shadow_pass, cols, tr)
-    return _fold_min_carry(tm, payload, carry, offset)
-
-
-def _fold_any(tm, occ):
-    """Payload-free any-hit fold: occ (RT,1) f32 |= any finite t in the chunk."""
-    return jnp.maximum(occ, jnp.max(jnp.where(jnp.isfinite(tm), 1.0, 0.0), axis=1, keepdims=True))
 
 
 def pack_rays(ro, rd, tmax):
@@ -406,6 +364,9 @@ def any_hit_lights_pallas(scene: Scene, ro, dirs, mags, tmin):
 
     R = ro.shape[0]
     L = dirs.shape[0]
+    # occlusion bits are summed into one f32 as occ * 2^li — exact only
+    # while 2^L stays within f32's 24-bit integer range
+    assert L <= 24, f"any_hit_lights_pallas supports at most 24 lights (got {L})"
     tmin = float(tmin)
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
     sph = pack_spheres(scene.spheres) if S else jnp.zeros((8, CT), jnp.float32)
