@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--size", default="96x72")
     p.add_argument("--out", default="inverse_rendering.png")
     p.add_argument("--platform", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="save/resume optimization state under this directory")
+    p.add_argument("--checkpoint-every", type=int, default=50)
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -72,11 +75,26 @@ def main(argv=None) -> int:
     step = diff_render.make_train_step(cfg, opt, params_of, merge)
     params = params_of(broken)
     opt_state = opt.init(params)
+
+    mgr = None
+    start_step = 0
+    if args.checkpoint_dir:
+        from raytpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir, keep=3)
+        resumed, state = mgr.restore_latest(like={"params": params, "opt_state": opt_state})
+        if resumed is not None:
+            start_step, params, opt_state = resumed, state["params"], state["opt_state"]
+            print(f"resumed from checkpoint step {start_step}")
+
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    loss = float("nan")
+    for i in range(start_step, args.steps):
         params, opt_state, loss = step(params, opt_state, broken, target)
         if i % max(args.steps // 10, 1) == 0:
             print(f"step {i:4d}  loss {float(loss):.6f}")
+        if mgr and (i + 1) % args.checkpoint_every == 0:
+            mgr.save_step(i + 1, {"params": params, "opt_state": opt_state})
     print(f"final loss {float(loss):.6f} in {time.perf_counter()-t0:.1f}s")
 
     recovered = diff_render.render_soft(merge(broken, params), cfg)

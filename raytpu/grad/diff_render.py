@@ -51,7 +51,11 @@ def make_train_step(config: RenderConfig, optimizer, param_fn: Callable[[Scene],
     def loss_fn(params, scene, target):
         return image_loss(merge_fn(scene, params), target, config)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # NOTE: params/opt_state are NOT donated: ``param_fn(scene)`` typically
+    # returns views aliasing the scene's own arrays, so donating them would
+    # delete the scene's buffers out from under later steps (the params here
+    # are KB-scale material/light tables — donation buys nothing).
+    @jax.jit
     def step(params, opt_state, scene, target):
         loss, grads = jax.value_and_grad(loss_fn)(params, scene, target)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -57,7 +57,9 @@ def make_sharded_train_step(config: RenderConfig, optimizer, param_fn, merge_fn,
         loss = jax.lax.pmean(loss, "prim") if "prim" in mesh.axis_names else loss
         return loss, grads
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # NOT donated: param_fn(scene) aliases the scene's arrays (see
+    # raytpu.grad.diff_render.make_train_step)
+    @jax.jit
     def step(params, opt_state, scene, target):
         ro, rd = generate_rays(scene.camera, soft_cfg)
         num_rays = rd.shape[0]
