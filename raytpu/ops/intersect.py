@@ -205,9 +205,19 @@ def soft_transmittance(scene: Scene, ro, rd, tmin, tmax, beta):
         trans = trans * jnp.prod(1.0 - occ, axis=1)
 
     if scene.planes.count:
-        # planes are half-space boundaries: occlusion is inherently binary
-        tm = plane_t(scene.planes.origin, scene.planes.normal, ro, rd, tmin, tmax_b)
-        occ = jnp.isfinite(tm).astype(trans.dtype) * _OCC_MAX
+        # Planes are infinite, so their shadow boundary in image space comes
+        # from the segment ENDPOINTS crossing the plane (receiver or light
+        # moving through it), not from a silhouette edge.  The signed margin
+        # is the distance (in t units) by which the crossing sits inside
+        # [tmin, tmax): gradients flow to plane origin/normal through t and
+        # to light/receiver positions through t and tmax.
+        denom = _dot(rd[:, None, :], scene.planes.normal[None, :, :])
+        num = _dot(scene.planes.origin[None, :, :] - ro[:, None, :], scene.planes.normal[None, :, :])
+        denom_nz = jnp.abs(denom) > FLT_EPSILON
+        t = num / jnp.where(denom_nz, denom, 1.0)
+        margin = jnp.minimum(t - tmin, tmax_b - t)  # absolute t units
+        gate = denom_nz & (margin > 0.0)
+        occ = jnp.minimum(jax.nn.sigmoid(beta * margin), _OCC_MAX) * gate
         trans = trans * jnp.prod(1.0 - occ, axis=1)
 
     if scene.triangles.count:

@@ -75,6 +75,27 @@ def test_chunked_kernels_bit_exact_on_bunny():
     np.testing.assert_array_equal(a, b)
 
 
+def test_mega_full_bench_resolution():
+    """Pin the flagship megakernel at the bench resolution (640x480): eager
+    interpret-mode render vs the jitted jnp path."""
+    from raytpu.core import math3d
+
+    cfg = RenderConfig(width=640, height=480)
+    a = np.asarray(render_image(_scene("reference"), cfg))
+    b = np.asarray(math3d.quantize_u8(pk.render_image_mega_f32(_scene("reference"), cfg)))
+    _close(a, b, budget=0.005)
+
+
+def test_chunked_midres_tile_permutation_bit_exact():
+    """Chunked kernels at a resolution where the 16x32 pixel-tile permutation
+    is active (128 % 32 == 0, 96 % 16 == 0) stay bit-exact vs jnp."""
+    cfg = RenderConfig(width=128, height=96)
+    assert pk._tile_permutation(cfg.height, cfg.width) is not None
+    a = np.asarray(render_image(_scene("bunny"), cfg))
+    b = np.asarray(pk.render_image(_scene("bunny"), cfg))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_chunked_closest_hit_records_match():
     import jax.numpy as jnp
 
