@@ -24,14 +24,14 @@ from raytpu.parallel.sharding import make_mesh, _render_sharded_jit
 
 
 def measure(scene, config, mesh, frames=4, repeats=2):
-    out = _render_sharded_jit(scene, config, mesh)
+    out = _render_sharded_jit(scene, config, mesh, "pallas")
     jax.block_until_ready(out)
     float(out[0, 0, 0])  # force a fetch (tunneled backends)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(frames):
-            out = _render_sharded_jit(scene, config, mesh)
+            out = _render_sharded_jit(scene, config, mesh, "pallas")
         float(jax.block_until_ready(out)[0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / frames)
     return config.width * config.height / best  # primary rays/s

@@ -73,14 +73,39 @@ def _pad_triangles(tris, multiple):
 # ---------------------------------------------------------------------------
 
 
-def _local_closest_hit(scene: Scene, ro, rd, tmin, tri_prio_offset):
+def _local_closest_hit(scene: Scene, ro, rd, tmin, tri_prio_offset, use_pallas: bool):
     """Closest hit over (all spheres, all planes, THIS shard's triangles),
     plus a global priority id so the merge reproduces the reference's
-    iteration-order tie-break (sphere < plane < triangle, low index first)."""
-    rec = intersect.closest_hit(scene, ro, rd, tmin)
-    tmat = intersect.scene_t_matrix(scene, ro, rd, tmin, jnp.inf, shadow_pass=False)
-    idx = jnp.argmin(tmat, axis=1)
+    iteration-order tie-break (sphere < plane < triangle, low index first).
+
+    ``use_pallas`` routes the per-chip query through the fused VMEM kernels
+    (raytpu.render.pallas_kernel) — the same code path the single-chip
+    flagship runs — instead of the jnp t-matrix ops."""
     S, Pn = scene.spheres.count, scene.planes.count
+    if use_pallas:
+        from raytpu.core import math3d
+        from raytpu.render import pallas_kernel as pk
+
+        R = rd.shape[0]
+        rays = pk.pack_rays(ro, rd, jnp.inf)
+        t, idx, nx, ny, nz, mat = pk.scene_min_t(scene, rays, float(tmin), shadow_pass=False)
+        t, idx = t[:R], idx[:R]
+        normal = jnp.stack([nx[:R], ny[:R], nz[:R]], axis=1)
+        is_sphere = idx < S
+        normal = jnp.where(is_sphere[:, None], math3d.normalize_safe(normal), normal)
+        hit = jnp.isfinite(t)
+        t_safe = jnp.where(hit, t, 0.0)
+        rec = intersect.HitRecords(
+            hit=hit,
+            t=jnp.where(hit, t, jnp.inf),
+            point=ro + t_safe[:, None] * rd,
+            normal=normal,
+            material=mat[:R].astype(jnp.int32),
+        )
+    else:
+        rec = intersect.closest_hit(scene, ro, rd, tmin)
+        tmat = intersect.scene_t_matrix(scene, ro, rd, tmin, jnp.inf, shadow_pass=False)
+        idx = jnp.argmin(tmat, axis=1)
     # triangles sit after all spheres+planes globally; shift this shard's ids
     prio = jnp.where(idx < S + Pn, idx, idx + tri_prio_offset)
     return rec, prio
@@ -112,54 +137,49 @@ def _merge_records(rec: intersect.HitRecords, prio, axis: str):
 # ---------------------------------------------------------------------------
 
 
-def _shade_rays_sharded(scene: Scene, ro, rd, config: RenderConfig, tri_prio_offset, prim_axis: str):
+def _shade_rays_sharded(scene: Scene, ro, rd, config: RenderConfig, tri_prio_offset,
+                        prim_axis: str, use_pallas: bool):
     """shade_rays with the closest-hit/any-hit queries reduced over the
-    triangle-shard axis.  Mirrors raytpu.render.renderer.shade_rays."""
-    from raytpu.ops import shading  # local import to avoid cycles
+    triangle-shard axis: the single-chip pipeline (including its fused Pallas
+    kernels when ``use_pallas``) runs per chip on the local triangle shard,
+    and per-shard winners merge with all_gather/pmax collectives."""
 
-    n = rd.shape[0]
-    ro = jnp.broadcast_to(ro, rd.shape)
-    rec_local, prio = _local_closest_hit(scene, ro, rd, jnp.float32(config.ray_min), tri_prio_offset)
-    rec = _merge_records(rec_local, prio, prim_axis)
+    def closest_fn(s, ro_b, rd_b, tmin):
+        rec_local, prio = _local_closest_hit(s, ro_b, rd_b, tmin, tri_prio_offset, use_pallas)
+        return _merge_records(rec_local, prio, prim_axis)
 
-    p_off = rec.point + rec.normal * jnp.float32(config.normal_offset)
-    color = jnp.zeros((n, 3), jnp.float32)
-    shadow_factor = jnp.ones((n,), jnp.float32)
-    mode = config.lighting_mode
+    def any_fn(s, p, l, tmin, mag):
+        if use_pallas:
+            from raytpu.render import pallas_kernel as pk
 
-    for li in range(scene.lights.count):
-        l, mag = shading.direction_to_light(scene.lights, li, p_off)
-        if config.shadows:
-            occ_local = intersect.any_hit(scene, p_off, l, jnp.float32(config.ray_min), mag)
-            occ = jax.lax.pmax(occ_local.astype(jnp.int32), prim_axis) > 0
-            trans = jnp.where(occ & rec.hit, 0.0, 1.0)
+            occ_local = pk.any_hit_pallas(s, p, l, tmin, mag)
         else:
-            trans = jnp.ones((n,), jnp.float32)
-        factor = jnp.where(trans == 0.0, jnp.float32(config.shadow_dim), 1.0)
-        shadow_factor = shadow_factor * factor
+            occ_local = intersect.any_hit(s, p, l, tmin, mag)
+        return jax.lax.pmax(occ_local.astype(jnp.int32), prim_axis) > 0
 
-        if mode.name == "COMBINED":
-            oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
-            rad = shading.radiance(scene.lights, li, rec.point)
-            brdf = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
-            contrib = oa[:, None] * rad * brdf
-        elif mode.name == "OBSERVED_AREA":
-            oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
-            contrib = jnp.broadcast_to(oa[:, None], (n, 3))
-        elif mode.name == "RADIANCE":
-            contrib = shading.radiance(scene.lights, li, rec.point)
-        else:
-            contrib = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
-        color = color + contrib * trans[:, None]
+    def any_multi_fn(s, p, dirs, mags, tmin):
+        from raytpu.render import pallas_kernel as pk
 
-    color = color * shadow_factor[:, None]
-    color = jnp.where(rec.hit[:, None], color, 0.0)
-    return math3d.max_to_one(color)
+        occ_local = pk.any_hit_lights_pallas(s, p, dirs, mags, tmin)
+        return jax.lax.pmax(occ_local.astype(jnp.int32), prim_axis) > 0
+
+    return shade_rays(
+        scene, ro, rd, config,
+        closest_fn=closest_fn,
+        any_fn=any_fn,
+        any_multi_fn=any_multi_fn if use_pallas else None,
+    )
 
 
-def render_pixels_shard_map(scene: Scene, config: RenderConfig, mesh: Mesh):
+def render_pixels_shard_map(scene: Scene, config: RenderConfig, mesh: Mesh,
+                            backend: str = "pallas"):
     """Full sharded forward pass: rays split over ``px``, triangles over
-    ``prim``.  Returns the (H, W, 3) f32 image (replicated)."""
+    ``prim``.  Returns the (H, W, 3) f32 image (replicated).
+
+    ``backend="pallas"`` (default) composes the fused VMEM kernels inside
+    shard_map — each chip runs the flagship single-chip path on its shard;
+    ``"jnp"`` uses the batched t-matrix ops."""
+    use_pallas = backend == "pallas"
     n_px = mesh.shape["px"]
     n_prim = mesh.shape["prim"]
 
@@ -184,18 +204,19 @@ def render_pixels_shard_map(scene: Scene, config: RenderConfig, mesh: Mesh):
     def kernel(scene_rest_l, tris_l, rd_l):
         scene_l = dataclasses.replace(scene_rest_l, triangles=tris_l)
         offset = jax.lax.axis_index("prim") * shard_size
-        colors = _shade_rays_sharded(scene_l, ro, rd_l, config, offset, "prim")
+        colors = _shade_rays_sharded(scene_l, ro, rd_l, config, offset, "prim", use_pallas)
         return colors
 
     colors = kernel(scene_rest, tris, rd)[:num_rays]
     return colors.reshape(config.height, config.width, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh"))
-def _render_sharded_jit(scene, config, mesh):
-    return render_pixels_shard_map(scene, config, mesh)
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "backend"))
+def _render_sharded_jit(scene, config, mesh, backend):
+    return render_pixels_shard_map(scene, config, mesh, backend)
 
 
-def render_image_sharded(scene: Scene, config: RenderConfig, mesh: Mesh):
+def render_image_sharded(scene: Scene, config: RenderConfig, mesh: Mesh,
+                         backend: str = "pallas"):
     """Jitted sharded render to uint8 (H, W, 3)."""
-    return math3d.quantize_u8(_render_sharded_jit(scene, config, mesh))
+    return math3d.quantize_u8(_render_sharded_jit(scene, config, mesh, backend))
