@@ -79,8 +79,14 @@ def v_jnp_shade_zero_occ(s):
     return fsum(colors)
 
 
-timeit("animate only", v_animate)
-timeit("kernels (closest+shadow)", v_kernels)
-timeit("noperm shade_rays", v_noperm)
-timeit("full (with perm)", v_full)
-timeit("closest + zero-occ shade", v_jnp_shade_zero_occ)
+import sys
+
+VARIANTS = {
+    "animate": ("animate only", v_animate),
+    "kernels": ("kernels (closest+shadow)", v_kernels),
+    "noperm": ("noperm shade_rays", v_noperm),
+    "full": ("full (with perm)", v_full),
+    "zeroocc": ("closest + zero-occ shade", v_jnp_shade_zero_occ),
+}
+name, fn = VARIANTS[sys.argv[1]]
+timeit(name, fn)

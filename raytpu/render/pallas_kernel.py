@@ -230,12 +230,13 @@ def pack_triangles(tris):
 def _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled):
     """ONE kernel per intersection pass over a 1D grid of ray tiles.
 
-    All primitive data is VMEM-resident for the whole pass; the triangle
-    chunk loop runs INSIDE the kernel (fori_loop + lax.cond on the
-    precomputed cull matrix), so the per-grid-step pipeline overhead is paid
-    once per ray tile instead of once per (tile, chunk)."""
+    All primitive data is VMEM-resident for the whole pass.  Culled scenes
+    iterate a per-tile WORKLIST of passing chunk ids (fori_loop + dynamic
+    lane slice): a culled chunk costs nothing at all — no predicate
+    evaluation, no pipeline bubble — unlike a static pl.when chain, whose
+    per-chunk fixed cost dominated many-chunk scenes in round 1."""
 
-    def kernel(rays_ref, sph_ref, pl_ref, tri_ref, cull_ref,
+    def kernel(rays_ref, sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref,
                t_ref, idx_ref, nx_ref, ny_ref, nz_ref, mat_ref):
         cols = _ray_cols(rays_ref)
         refs = (t_ref, idx_ref, nx_ref, ny_ref, nz_ref, mat_ref)
@@ -250,24 +251,39 @@ def _make_scene_kernel(tmin, shadow_pass, S, P, T, nc, culled):
             tm, pay = _plane_t_matrix(tmin, cols, pl_ref[:])
             _fold_min_refs(tm, pay, refs, S)
         if T:
-            # static unroll over chunks; pl.when + ref mutation makes a
-            # culled chunk genuinely free (no accumulator copies)
-            for c in range(nc):
-                def do(c=c):
+            if culled:
+                def body(j, carry):
+                    c = wl_ref[0, 0, j]
+                    off = pl.multiple_of(c * CT, CT)
+                    tm, pay = _triangle_t_matrix(
+                        tmin, shadow_pass, cols, tri_ref[:, pl.ds(off, CT)]
+                    )
+                    _fold_min_refs(tm, pay, refs, S + P + c * CT)
+                    return carry
+
+                jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, 0)
+            else:
+                for c in range(nc):
                     tm, pay = _triangle_t_matrix(
                         tmin, shadow_pass, cols, tri_ref[:, c * CT : (c + 1) * CT]
                     )
                     _fold_min_refs(tm, pay, refs, S + P + c * CT)
 
-                if culled:
-                    pl.when(cull_ref[0, 0, c] > 0.0)(do)
-                else:
-                    do()
-
     return kernel
 
 
 CULL_MIN_TRIS = 2 * CT  # chunk culling pays off past a couple of chunks
+
+
+def chunk_worklist(cull):
+    """(nr, nc) f32 cull matrix -> per-tile worklist of passing chunk ids.
+
+    Returns ``(worklist (nr, nc) i32, count (nr, 1) i32)``: passing chunks
+    first, in ascending chunk order (stable sort keeps the reference's
+    iteration-order tie-break across chunks)."""
+    order = jnp.argsort(-cull, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(cull > 0.0, axis=1).astype(jnp.int32)[:, None]
+    return order, count
 
 
 def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
@@ -285,8 +301,10 @@ def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
         rb = accel.ray_tile_bounds(rays[:, 0:3], rays[:, 3:6], rays[:, 6], tile=RT)
         lo, hi = accel.chunk_bounds(scene.triangles, CT)
         cull = accel.cull_matrix(rb, lo, hi, tmin)  # (nr, nc) f32
+        wl, cnt = chunk_worklist(cull)
     else:
-        cull = jnp.ones((R // RT, nc), jnp.float32)
+        wl = jnp.zeros((R // RT, nc), jnp.int32)
+        cnt = jnp.full((R // RT, 1), nc, jnp.int32)
 
     interpret = _interpret or jax.default_backend() == "cpu"
     t, idx, nx, ny, nz, mat = pl.pallas_call(
@@ -298,6 +316,7 @@ def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
             pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, tri.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -312,7 +331,7 @@ def scene_min_t(scene: Scene, rays, tmin, shadow_pass: bool):
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(rays, sph, pln, tri, cull[:, None, :])
+    )(rays, sph, pln, tri, wl[:, None, :], cnt[:, :, None])
     return t[:, 0], idx[:, 0], nx[:, 0], ny[:, 0], nz[:, 0], mat[:, 0]
 
 
@@ -323,7 +342,8 @@ def _make_shadow_kernel(tmin, S, P, T, nc, culled, L):
     normal/material selects) — shadow rays only need a boolean
     (reference: source/Scene.cpp:68-96)."""
 
-    def kernel(orig_ref, dirs_ref, sph_ref, pl_ref, tri_ref, cull_ref, occ_ref, occ_scratch):
+    def kernel(orig_ref, dirs_ref, sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref,
+               occ_ref, occ_scratch):
         o = orig_ref[:]  # (RT, 8): [ox oy oz ...]
         occ_ref[:] = jnp.zeros((RT, 1), jnp.float32)
         for li in range(L):
@@ -338,17 +358,23 @@ def _make_shadow_kernel(tmin, S, P, T, nc, culled, L):
             if P:
                 _fold_any_ref(_plane_t_matrix(tmin, cols, pl_ref[:])[0], occ_scratch)
             if T:
-                for c in range(nc):
-                    def do(c=c, cols=cols):
+                if culled:
+                    def body(j, carry, cols=cols, li=li):
+                        c = wl_ref[0, li, j]
+                        off = pl.multiple_of(c * CT, CT)
+                        _fold_any_ref(
+                            _triangle_t_matrix(tmin, True, cols, tri_ref[:, pl.ds(off, CT)])[0],
+                            occ_scratch,
+                        )
+                        return carry
+
+                    jax.lax.fori_loop(0, cnt_ref[0, 0, li], body, 0)
+                else:
+                    for c in range(nc):
                         _fold_any_ref(
                             _triangle_t_matrix(tmin, True, cols, tri_ref[:, c * CT : (c + 1) * CT])[0],
                             occ_scratch,
                         )
-
-                    if culled:
-                        pl.when(cull_ref[0, 0, li * nc + c] > 0.0)(do)
-                    else:
-                        do()
             occ_ref[:] = occ_ref[:] + occ_scratch[:] * float(1 << li)
 
     return kernel
@@ -386,15 +412,19 @@ def any_hit_lights_pallas(scene: Scene, ro, dirs, mags, tmin):
     Rp = orig.shape[0]
 
     if culled:
-        culls = []
+        wls, cnts = [], []
+        lo, hi = accel.chunk_bounds(scene.triangles, CT)
         for li in range(L):
             rays_li = pack_rays(ro, dirs[li], mags[li])
             rb = accel.ray_tile_bounds(rays_li[:, 0:3], rays_li[:, 3:6], rays_li[:, 6], tile=RT)
-            lo, hi = accel.chunk_bounds(scene.triangles, CT)
-            culls.append(accel.cull_matrix(rb, lo, hi, tmin))
-        cull = jnp.concatenate(culls, axis=1)  # (nr, L*nc)
+            w, c = chunk_worklist(accel.cull_matrix(rb, lo, hi, tmin))
+            wls.append(w)
+            cnts.append(c)
+        wl = jnp.stack(wls, axis=1)  # (nr, L, nc)
+        cnt = jnp.concatenate(cnts, axis=1)  # (nr, L)
     else:
-        cull = jnp.ones((Rp // RT, L * nc), jnp.float32)
+        wl = jnp.zeros((Rp // RT, L, nc), jnp.int32)
+        cnt = jnp.full((Rp // RT, L), nc, jnp.int32)
 
     interpret = _interpret or jax.default_backend() == "cpu"
     occ_bits = pl.pallas_call(
@@ -406,15 +436,209 @@ def any_hit_lights_pallas(scene: Scene, ro, dirs, mags, tmin):
             pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, tri.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L * nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RT, 1), jnp.float32)],
         interpret=interpret,
-    )(orig, dirs_flat, sph, pln, tri, cull[:, None, :])
+    )(orig, dirs_flat, sph, pln, tri, wl, cnt[:, None, :])
     bits = occ_bits[:R, 0].astype(jnp.int32)
     return jnp.stack([(bits & (1 << li)) > 0 for li in range(L)])
+
+
+# ---------------------------------------------------------------------------
+# Fused shadow+shade kernel: all L lights' any-hit folds + material shading +
+# tone map in ONE kernel launch after the closest-hit pass.  Round 1 paid
+# ~12-15 ms/frame of XLA glue (shading stage + permutation gathers) on
+# big-mesh scenes; this kernel's only HBM traffic is the final color columns.
+# ---------------------------------------------------------------------------
+
+
+def pack_lights(lt):
+    """(L,8) SMEM light blob: [pos|dir, color, intensity, kind] — directional
+    lights keep their (normalized) direction in the pos slot."""
+    if lt.count == 0:
+        return jnp.zeros((0, 8), jnp.float32)
+    lpos = jnp.where((lt.kind == 0)[:, None], lt.position, lt.direction)
+    return jnp.stack(
+        [
+            lpos[:, 0], lpos[:, 1], lpos[:, 2],
+            lt.color[:, 0], lt.color[:, 1], lt.color[:, 2],
+            lt.intensity, lt.kind.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _make_shadow_shade_kernel(config: RenderConfig, tmin, S, P, T, nc, culled, L):
+    mode_name = config.lighting_mode.name
+    shadows = bool(config.shadows)
+    dim = float(config.shadow_dim)
+
+    def kernel(orig_ref, dirs_ref, shade_ref, sph_ref, pl_ref, tri_ref, li_ref,
+               wl_ref, cnt_ref, cr_ref, cg_ref, cb_ref, occ_scratch):
+        o = orig_ref[:]  # (RT,8): [p_off, rd, 0, 0]
+        sb = shade_ref[:]  # (RT,16): [hit, normal, point, mat(kind,rgb,p0..p2), 0, 0]
+        ox_, oy_, oz_ = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        vx, vy, vz = -o[:, 3:4], -o[:, 4:5], -o[:, 5:6]
+        hit = sb[:, 0:1] > 0.5
+        nx, ny, nz = sb[:, 1:2], sb[:, 2:3], sb[:, 3:4]
+        px_, py_, pz_ = sb[:, 4:5], sb[:, 5:6], sb[:, 6:7]
+        mk, mr, mg, mb = sb[:, 7:8], sb[:, 8:9], sb[:, 9:10], sb[:, 10:11]
+        m0, m1, m2 = sb[:, 11:12], sb[:, 12:13], sb[:, 13:14]
+
+        cr = jnp.zeros((RT, 1), jnp.float32)
+        cg = jnp.zeros_like(cr)
+        cb = jnp.zeros_like(cr)
+        sf = jnp.ones_like(cr)
+        for li in range(L):
+            d = dirs_ref[:, 4 * li : 4 * li + 4]  # (RT,4): [lx ly lz mag]
+            lx, ly, lz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+            if shadows:
+                cols = (ox_, oy_, oz_, lx, ly, lz, d[:, 3:4])
+                occ_scratch[:] = jnp.zeros((RT, 1), jnp.float32)
+                if S:
+                    _fold_any_ref(_sphere_t_matrix(tmin, cols, sph_ref[:])[0], occ_scratch)
+                if P:
+                    _fold_any_ref(_plane_t_matrix(tmin, cols, pl_ref[:])[0], occ_scratch)
+                if T:
+                    if culled:
+                        def body(j, carry, cols=cols, li=li):
+                            c = wl_ref[0, li, j]
+                            off = pl.multiple_of(c * CT, CT)
+                            _fold_any_ref(
+                                _triangle_t_matrix(tmin, True, cols, tri_ref[:, pl.ds(off, CT)])[0],
+                                occ_scratch,
+                            )
+                            return carry
+
+                        jax.lax.fori_loop(0, cnt_ref[0, 0, li], body, 0)
+                    else:
+                        for c in range(nc):
+                            _fold_any_ref(
+                                _triangle_t_matrix(tmin, True, cols, tri_ref[:, c * CT : (c + 1) * CT])[0],
+                                occ_scratch,
+                            )
+                lit = jnp.logical_not((occ_scratch[:] > 0.5) & hit)
+                sf = sf * jnp.where(lit, 1.0, dim)
+            else:
+                lit = jnp.ones((RT, 1), jnp.bool_)
+
+            lpx, lpy, lpz = li_ref[li, 0], li_ref[li, 1], li_ref[li, 2]
+            lcr, lcg, lcb = li_ref[li, 3], li_ref[li, 4], li_ref[li, 5]
+            lint = li_ref[li, 6]
+            is_point = li_ref[li, 7] == 0.0
+            wr, wg, wb = _shade_one_light(
+                mode_name, is_point, (lpx, lpy, lpz), (lcr, lcg, lcb), lint,
+                (px_, py_, pz_), (nx, ny, nz), (lx, ly, lz), (vx, vy, vz),
+                (mk, mr, mg, mb, m0, m1, m2),
+            )
+            cr = cr + jnp.where(lit, wr, 0.0)
+            cg = cg + jnp.where(lit, wg, 0.0)
+            cb = cb + jnp.where(lit, wb, 0.0)
+
+        cr = jnp.where(hit, cr * sf, 0.0)
+        cg = jnp.where(hit, cg * sf, 0.0)
+        cb = jnp.where(hit, cb * sf, 0.0)
+        cr, cg, cb = _tonemap_rgb(cr, cg, cb)
+        cr_ref[:] = cr
+        cg_ref[:] = cg
+        cb_ref[:] = cb
+
+    return kernel
+
+
+def shadow_shade_pallas(scene: Scene, rec: intersect.HitRecords, rd, config: RenderConfig):
+    """Fused per-light shadow + shading + tonemap for a closest-hit batch.
+
+    ``rec`` must be in the same ray order as ``rd``.  Returns (R,3) f32
+    tone-mapped colors (the rest of RenderPixel after GetClosestHit,
+    reference: source/Renderer.cpp:120-182, as one kernel)."""
+    from raytpu.ops import accel, shading as _shading
+
+    R = rd.shape[0]
+    L = scene.lights.count
+    if L == 0:
+        return jnp.zeros((R, 3), jnp.float32)  # no lights -> black (reference W1)
+    assert L <= 24, f"shadow_shade_pallas supports at most 24 lights (got {L})"
+    tmin = float(config.ray_min)
+    p_off = rec.point + rec.normal * jnp.float32(config.normal_offset)
+    lds = [_shading.direction_to_light(scene.lights, li, p_off) for li in range(L)]
+
+    # per-ray material row via one-hot matmul (MXU; TPU gathers are scalar-slow)
+    mats = scene.materials
+    table = jnp.concatenate(
+        [mats.kind.astype(jnp.float32)[:, None], mats.color, mats.params], axis=1
+    )  # (M,7)
+    onehot = (rec.material[:, None] == jnp.arange(mats.count)[None, :]).astype(jnp.float32)
+    vals = onehot @ table  # (R,7)
+
+    orig = _pad_axis(
+        jnp.concatenate([p_off, rd, jnp.zeros((R, 2), jnp.float32)], axis=1), 0, RT, 0.0
+    )
+    dirs_flat = _pad_axis(
+        jnp.concatenate(
+            [jnp.concatenate([l, m[:, None]], axis=1) for l, m in lds], axis=1
+        ),
+        0, RT, 0.0,
+    )  # (Rp, 4L)
+    shade_blob = _pad_axis(
+        jnp.concatenate(
+            [rec.hit.astype(jnp.float32)[:, None], rec.normal, rec.point, vals,
+             jnp.zeros((R, 2), jnp.float32)],
+            axis=1,
+        ),
+        0, RT, 0.0,
+    )  # (Rp, 16)
+    Rp = orig.shape[0]
+
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    sph = pack_spheres(scene.spheres) if S else jnp.zeros((8, CT), jnp.float32)
+    pln = pack_planes(scene.planes) if P else jnp.zeros((8, CT), jnp.float32)
+    tri = pack_triangles(scene.triangles) if T else jnp.zeros((16, CT), jnp.float32)
+    nc = tri.shape[1] // CT if T else 1
+    culled = T >= CULL_MIN_TRIS and config.shadows
+    if culled:
+        wls, cnts = [], []
+        lo, hi = accel.chunk_bounds(scene.triangles, CT)
+        for l, m in lds:
+            rays_li = pack_rays(p_off, l, m)
+            rb = accel.ray_tile_bounds(rays_li[:, 0:3], rays_li[:, 3:6], rays_li[:, 6], tile=RT)
+            w, c = chunk_worklist(accel.cull_matrix(rb, lo, hi, tmin))
+            wls.append(w)
+            cnts.append(c)
+        wl = jnp.stack(wls, axis=1)  # (nr, L, nc)
+        cnt = jnp.concatenate(cnts, axis=1)  # (nr, L)
+    else:
+        wl = jnp.zeros((Rp // RT, L, nc), jnp.int32)
+        cnt = jnp.full((Rp // RT, L), nc, jnp.int32)
+
+    interpret = _interpret or jax.default_backend() == "cpu"
+    cr, cg, cb = pl.pallas_call(
+        _make_shadow_shade_kernel(config, tmin, S, P, T, nc, culled, L),
+        grid=(Rp // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 4 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RT, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tri.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(L, 1), 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, nc), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Rp, 1), jnp.float32) for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((RT, 1), jnp.float32)],
+        interpret=interpret,
+    )(orig, dirs_flat, shade_blob, sph, pln, tri, pack_lights(scene.lights), wl, cnt[:, None, :])
+    return jnp.concatenate([cr[:R], cg[:R], cb[:R]], axis=1)
 
 
 def closest_hit_pallas(scene: Scene, ro, rd, tmin) -> intersect.HitRecords:
@@ -465,6 +689,109 @@ _MTILE = 1024  # rays per megakernel tile, as (8, 128)
 
 def _msqnorm(x, y, z):
     return x * x + y * y + z * z
+
+
+def _shade_one_light(mode_name, is_point, lp, lcol, lint, p, n, l, v, mat):
+    """Per-light contribution ``(wr, wg, wb)`` for one in-kernel ray batch;
+    every argument is a broadcast-compatible array (the megakernel passes
+    (8,128) registers, the fused shadow+shade kernel (RT,1) columns).
+
+    Transcribes RenderPixel's per-light shading: radiance at the UNOFFSET hit
+    point (reference: source/Renderer.cpp:150), material-table dispatch in
+    place of the Shade vtable (reference: source/Material.h:27), and the four
+    debug lighting modes (reference: source/Renderer.cpp:145-171)."""
+    lpx, lpy, lpz = lp
+    lcr, lcg, lcb = lcol
+    px_, py_, pz_ = p
+    nx, ny, nz = n
+    lx, ly, lz = l
+    vx, vy, vz = v
+    mk, mr, mg, mb, m0, m1, m2 = mat
+
+    rdx_p = lpx - px_
+    rdy_p = lpy - py_
+    rdz_p = lpz - pz_
+    inv_d2 = lint / _msqnorm(rdx_p, rdy_p, rdz_p)
+    rad_scale = jnp.where(is_point, inv_d2, lint)
+    ndl = nx * lx + ny * ly + nz * lz
+    oa = jnp.maximum(ndl, 0.0)
+
+    if mode_name in ("COMBINED", "BRDF"):
+        # material-table dispatch on per-lane regs
+        # Lambert: (cd*kd)/pi op order (reference: source/BRDFs.h:14-22)
+        pi = np.float32(np.pi)
+        lam_r = mr * m0 / pi
+        lam_g = mg * m0 / pi
+        lam_b = mb * m0 / pi
+        # Phong lobe (kind 2): params [kd, ks, exp]
+        two_ndl = 2.0 * jnp.maximum(ndl, 0.0)
+        rfx = lx - two_ndl * nx
+        rfy = ly - two_ndl * ny
+        rfz = lz - two_ndl * nz
+        cosa = jnp.maximum(rfx * vx + rfy * vy + rfz * vz, 0.0)
+        spec_p = m1 * jnp.power(cosa, m2)
+        # Cook-Torrance (kind 3): params [metal, rough]
+        hx_ = vx + lx
+        hy_ = vy + ly
+        hz_ = vz + lz
+        h_len = jnp.maximum(jnp.sqrt(_msqnorm(hx_, hy_, hz_)), 1e-20)
+        hx_ = hx_ / h_len
+        hy_ = hy_ / h_len
+        hz_ = hz_ / h_len
+        dielectric = m0 == 0.0
+        f0r = jnp.where(dielectric, 0.04, mr)
+        f0g = jnp.where(dielectric, 0.04, mg)
+        f0b = jnp.where(dielectric, 0.04, mb)
+        hdv = jnp.maximum(hx_ * vx + hy_ * vy + hz_ * vz, 0.0)
+        fres_w = jnp.power(1.0 - hdv, 5)
+        Fr = f0r + (1.0 - f0r) * fres_w
+        Fg = f0g + (1.0 - f0g) * fres_w
+        Fb = f0b + (1.0 - f0b) * fres_w
+        a_ = m1 * m1
+        sqr_a = a_ * a_
+        ndh = jnp.maximum(nx * hx_ + ny * hy_ + nz * hz_, 0.0)
+        dden = ndh * ndh * (sqr_a - 1.0) + 1.0
+        D = sqr_a / (pi * dden * dden)
+        kk = (a_ + 1.0) * (a_ + 1.0) / 8.0
+        ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+        ndl_c = jnp.maximum(ndl, 0.0)
+        G = (ndv / (ndv * (1.0 - kk) + kk)) * (ndl_c / (ndl_c * (1.0 - kk) + kk))
+        spec_den = 4.0 * jnp.maximum(ndv, 1e-4) * jnp.maximum(ndl_c, 1e-4)
+        spec_s = D * G / spec_den
+        ct_r = jnp.where(dielectric, mr * (1.0 - Fr) / pi, 0.0) + Fr * spec_s
+        ct_g = jnp.where(dielectric, mg * (1.0 - Fg) / pi, 0.0) + Fg * spec_s
+        ct_b = jnp.where(dielectric, mb * (1.0 - Fb) / pi, 0.0) + Fb * spec_s
+        # select by material kind: 0 solid, 1 lambert, 2 lambert+phong, 3 CT
+        br = jnp.where(mk == 0.0, mr, jnp.where(mk == 1.0, lam_r, jnp.where(mk == 2.0, lam_r + spec_p, ct_r)))
+        bg = jnp.where(mk == 0.0, mg, jnp.where(mk == 1.0, lam_g, jnp.where(mk == 2.0, lam_g + spec_p, ct_g)))
+        bb = jnp.where(mk == 0.0, mb, jnp.where(mk == 1.0, lam_b, jnp.where(mk == 2.0, lam_b + spec_p, ct_b)))
+
+    if mode_name == "COMBINED":
+        # ((oa * (color*scale)) * brdf) — the jnp path's op order
+        wr = oa * (lcr * rad_scale) * br
+        wg = oa * (lcg * rad_scale) * bg
+        wb = oa * (lcb * rad_scale) * bb
+    elif mode_name == "OBSERVED_AREA":
+        wr = wg = wb = oa
+    elif mode_name == "RADIANCE":
+        wr = rad_scale * lcr
+        wg = rad_scale * lcg
+        wb = rad_scale * lcb
+    else:  # BRDF
+        wr, wg, wb = br, bg, bb
+    return wr, wg, wb
+
+
+def _tonemap_rgb(cr, cg, cb):
+    """MaxToOne tone map (reference: source/ColorRGB.h:12-17); divide (not
+    reciprocal-multiply) to match the jnp path bit-for-bit."""
+    mx = jnp.maximum(cr, jnp.maximum(cg, cb))
+    over = mx > 1.0
+    return (
+        jnp.where(over, cr / mx, cr),
+        jnp.where(over, cg / mx, cg),
+        jnp.where(over, cb / mx, cb),
+    )
 
 
 def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
@@ -640,78 +967,11 @@ def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
         else:
             lit = jnp.ones((8, 128), jnp.bool_)
 
-        # radiance uses the unoffset hit point (reference: source/Renderer.cpp:150)
-        rdx_p = lpx - px_
-        rdy_p = lpy - py_
-        rdz_p = lpz - pz_
-        inv_d2 = lint / _msqnorm(rdx_p, rdy_p, rdz_p)
-        rad_scale = jnp.where(is_point, inv_d2, lint)
-        oa = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
-
-        if mode.name in ("COMBINED", "BRDF"):
-            # material-table dispatch on per-lane regs
-            # Lambert: (cd*kd)/pi op order (reference: source/BRDFs.h:14-22)
-            pi = np.float32(np.pi)
-            lam_r = mr * m0 / pi
-            lam_g = mg * m0 / pi
-            lam_b = mb * m0 / pi
-            # Phong lobe (kind 2): params [kd, ks, exp]
-            ndl = nx * lx + ny * ly + nz * lz
-            two_ndl = 2.0 * jnp.maximum(ndl, 0.0)
-            rfx = lx - two_ndl * nx
-            rfy = ly - two_ndl * ny
-            rfz = lz - two_ndl * nz
-            cosa = jnp.maximum(rfx * vx + rfy * vy + rfz * vz, 0.0)
-            spec_p = m1 * jnp.power(cosa, m2)
-            # Cook-Torrance (kind 3): params [metal, rough]
-            hx_ = vx + lx
-            hy_ = vy + ly
-            hz_ = vz + lz
-            h_len = jnp.maximum(jnp.sqrt(_msqnorm(hx_, hy_, hz_)), 1e-20)
-            hx_ = hx_ / h_len
-            hy_ = hy_ / h_len
-            hz_ = hz_ / h_len
-            dielectric = m0 == 0.0
-            f0r = jnp.where(dielectric, 0.04, mr)
-            f0g = jnp.where(dielectric, 0.04, mg)
-            f0b = jnp.where(dielectric, 0.04, mb)
-            hdv = jnp.maximum(hx_ * vx + hy_ * vy + hz_ * vz, 0.0)
-            fres_w = jnp.power(1.0 - hdv, 5)
-            Fr = f0r + (1.0 - f0r) * fres_w
-            Fg = f0g + (1.0 - f0g) * fres_w
-            Fb = f0b + (1.0 - f0b) * fres_w
-            a_ = m1 * m1
-            sqr_a = a_ * a_
-            ndh = jnp.maximum(nx * hx_ + ny * hy_ + nz * hz_, 0.0)
-            dden = ndh * ndh * (sqr_a - 1.0) + 1.0
-            D = sqr_a / (pi * dden * dden)
-            kk = (a_ + 1.0) * (a_ + 1.0) / 8.0
-            ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
-            ndl_c = jnp.maximum(ndl, 0.0)
-            G = (ndv / (ndv * (1.0 - kk) + kk)) * (ndl_c / (ndl_c * (1.0 - kk) + kk))
-            spec_den = 4.0 * jnp.maximum(ndv, 1e-4) * jnp.maximum(ndl_c, 1e-4)
-            spec_s = D * G / spec_den
-            ct_r = jnp.where(dielectric, mr * (1.0 - Fr) / pi, 0.0) + Fr * spec_s
-            ct_g = jnp.where(dielectric, mg * (1.0 - Fg) / pi, 0.0) + Fg * spec_s
-            ct_b = jnp.where(dielectric, mb * (1.0 - Fb) / pi, 0.0) + Fb * spec_s
-            # select by material kind: 0 solid, 1 lambert, 2 lambert+phong, 3 CT
-            br = jnp.where(mk == 0.0, mr, jnp.where(mk == 1.0, lam_r, jnp.where(mk == 2.0, lam_r + spec_p, ct_r)))
-            bg = jnp.where(mk == 0.0, mg, jnp.where(mk == 1.0, lam_g, jnp.where(mk == 2.0, lam_g + spec_p, ct_g)))
-            bb = jnp.where(mk == 0.0, mb, jnp.where(mk == 1.0, lam_b, jnp.where(mk == 2.0, lam_b + spec_p, ct_b)))
-
-        if mode.name == "COMBINED":
-            # ((oa * (color*scale)) * brdf) — the jnp path's op order
-            wr = oa * (lcr * rad_scale) * br
-            wg = oa * (lcg * rad_scale) * bg
-            wb = oa * (lcb * rad_scale) * bb
-        elif mode.name == "OBSERVED_AREA":
-            wr = wg = wb = oa
-        elif mode.name == "RADIANCE":
-            wr = rad_scale * lcr
-            wg = rad_scale * lcg
-            wb = rad_scale * lcb
-        else:  # BRDF
-            wr, wg, wb = br, bg, bb
+        wr, wg, wb = _shade_one_light(
+            mode.name, is_point, (lpx, lpy, lpz), (lcr, lcg, lcb), lint,
+            (px_, py_, pz_), (nx, ny, nz), (lx, ly, lz), (vx, vy, vz),
+            (mk, mr, mg, mb, m0, m1, m2),
+        )
         cr = cr + jnp.where(lit, wr, 0.0)
         cg = cg + jnp.where(lit, wg, 0.0)
         cb = cb + jnp.where(lit, wb, 0.0)
@@ -719,13 +979,10 @@ def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
     cr = jnp.where(hit, cr * sf, 0.0)
     cg = jnp.where(hit, cg * sf, 0.0)
     cb = jnp.where(hit, cb * sf, 0.0)
-    # MaxToOne tone map (reference: source/ColorRGB.h:12-17); divide (not
-    # reciprocal-multiply) to match the jnp path bit-for-bit
-    mx = jnp.maximum(cr, jnp.maximum(cg, cb))
-    over = mx > 1.0
-    out_ref[0, :, :] = jnp.where(over, cr / mx, cr)
-    out_ref[1, :, :] = jnp.where(over, cg / mx, cg)
-    out_ref[2, :, :] = jnp.where(over, cb / mx, cb)
+    cr, cg, cb = _tonemap_rgb(cr, cg, cb)
+    out_ref[0, :, :] = cr
+    out_ref[1, :, :] = cg
+    out_ref[2, :, :] = cb
 
 
 def _mega_pack(scene: Scene, config: RenderConfig):
@@ -771,15 +1028,7 @@ def _mega_pack(scene: Scene, config: RenderConfig):
              tr.cull.astype(jnp.float32)] + mat_cols(tr.material), axis=1)
     else:
         tri_blob = jnp.zeros((0, 20), jnp.float32)
-    lt = scene.lights
-    # directional lights keep their (normalized) direction in the pos slot
-    lpos = jnp.where((lt.kind == 0)[:, None], lt.position, lt.direction)
-    li_blob = jnp.stack([
-        lpos[:, 0], lpos[:, 1], lpos[:, 2],
-        lt.color[:, 0], lt.color[:, 1], lt.color[:, 2],
-        lt.intensity, lt.kind.astype(jnp.float32),
-    ], axis=1) if lt.count else jnp.zeros((0, 8), jnp.float32)
-    return cam, sph_blob, pl_blob, tri_blob, li_blob
+    return cam, sph_blob, pl_blob, tri_blob, pack_lights(scene.lights)
 
 
 def render_image_mega_f32(scene: Scene, config: RenderConfig):
@@ -847,6 +1096,19 @@ def _tile_permutation(h: int, w: int, th: int = 16, tw: int = 32):
     return perm, inv  # numpy: safe to cache across jit traces
 
 
+def _tile_fold(x, h, w, th: int = 16, tw: int = 32):
+    """Row-major (H*W, C) -> tile-major, as pure reshape/transpose (TPU
+    transposes are fast; the equivalent gather by ``perm`` is scalar-slow)."""
+    c = x.shape[-1]
+    return x.reshape(h // th, th, w // tw, tw, c).transpose(0, 2, 1, 3, 4).reshape(-1, c)
+
+
+def _tile_unfold(x, h, w, th: int = 16, tw: int = 32):
+    """Inverse of _tile_fold: tile-major (H*W, C) -> (H, W, C)."""
+    c = x.shape[-1]
+    return x.reshape(h // th, w // tw, th, tw, c).transpose(0, 2, 1, 3, 4).reshape(h, w, c)
+
+
 #: Largest triangle count kept fully VMEM-resident by the fused kernels;
 #: beyond this the jnp (HBM-chunked) path takes over.
 MAX_VMEM_TRIS = 32768
@@ -857,16 +1119,18 @@ def render_image_f32(scene: Scene, config: RenderConfig):
     nprims = scene.num_primitives
     if nprims <= MEGA_MAX_PRIMS and scene.lights.count <= MEGA_MAX_LIGHTS and not config.soft_shadows:
         return render_image_mega_f32(scene, config)
-    if scene.triangles.count > MAX_VMEM_TRIS:
+    if scene.triangles.count > MAX_VMEM_TRIS or config.soft_shadows:
         return _renderer.render_image_f32(scene, config)
+    W, H = config.width, config.height
     ro, rd = _renderer.generate_rays(scene.camera, config)
-    tiling = _tile_permutation(config.height, config.width)
-    if tiling is not None:
-        perm, inv = tiling
-        colors = shade_rays(scene, ro, rd[perm], config)[inv]
-    else:
-        colors = shade_rays(scene, ro, rd, config)
-    return colors.reshape(config.height, config.width, 3)
+    tiled = _tile_permutation(H, W) is not None
+    if tiled:
+        rd = _tile_fold(rd, H, W)
+    rec = closest_hit_pallas(scene, jnp.broadcast_to(ro, rd.shape), rd, config.ray_min)
+    colors = shadow_shade_pallas(scene, rec, rd, config)
+    if tiled:
+        return _tile_unfold(colors, H, W)
+    return colors.reshape(H, W, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -66,13 +66,15 @@ def test_mega_non_multiple_ray_count():
     _close(a, b)
 
 
-def test_chunked_kernels_bit_exact_on_bunny():
-    # bunny (292 tris) exceeds MEGA_MAX_PRIMS -> chunked per-class kernels
+def test_chunked_kernels_match_on_bunny():
+    # bunny (292 tris) exceeds MEGA_MAX_PRIMS -> chunked kernels + the fused
+    # shadow+shade kernel (in-kernel shading: tiny flip budget, like the
+    # megakernel — Mosaic and XLA reduce 3-element dots in different orders)
     assert _scene("bunny").num_primitives > pk.MEGA_MAX_PRIMS
     cfg = RenderConfig(width=64, height=48)
     a = np.asarray(render_image(_scene("bunny"), cfg))
     b = np.asarray(pk.render_image(_scene("bunny"), cfg))
-    np.testing.assert_array_equal(a, b)
+    _close(a, b)
 
 
 def test_mega_full_bench_resolution():
@@ -86,14 +88,14 @@ def test_mega_full_bench_resolution():
     _close(a, b, budget=0.005)
 
 
-def test_chunked_midres_tile_permutation_bit_exact():
-    """Chunked kernels at a resolution where the 16x32 pixel-tile permutation
-    is active (128 % 32 == 0, 96 % 16 == 0) stay bit-exact vs jnp."""
+def test_chunked_midres_tile_permutation():
+    """Chunked kernels at a resolution where the 16x32 pixel-tile fold is
+    active (128 % 32 == 0, 96 % 16 == 0) match jnp within the flip budget."""
     cfg = RenderConfig(width=128, height=96)
     assert pk._tile_permutation(cfg.height, cfg.width) is not None
     a = np.asarray(render_image(_scene("bunny"), cfg))
     b = np.asarray(pk.render_image(_scene("bunny"), cfg))
-    np.testing.assert_array_equal(a, b)
+    _close(a, b)
 
 
 def test_chunked_closest_hit_records_match():
