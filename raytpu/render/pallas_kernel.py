@@ -794,6 +794,74 @@ def _tonemap_rgb(cr, cg, cb):
     )
 
 
+# ---------------------------------------------------------------------------
+# Scalar-broadcast primitive tests: one primitive's parameters are loaded as
+# SMEM scalars and broadcast against a whole (8, 128) ray-tile register.
+# Unlike the (RT, CT) fold layout, every per-ray op here costs exactly ONE
+# vector register — full lane utilization with no padded prim lanes.
+# ---------------------------------------------------------------------------
+
+
+def _sphere_t_reg(sph_ref, s, ox, oy, oz, ddx, ddy, ddz, lo, hi):
+    """(8,128) sphere t for SMEM sphere row ``s`` (reference: source/Utils.h:52-71)."""
+    cx_, cy_, cz_, r2 = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3]
+    lx = cx_ - ox
+    ly = cy_ - oy
+    lz = cz_ - oz
+    l2 = _msqnorm(lx, ly, lz)
+    proj = ddx * lx + ddy * ly + ddz * lz
+    perp2 = l2 - proj * proj
+    inside = r2 >= perp2
+    tc = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
+    return jnp.where(inside & (tc >= lo) & (tc <= hi), tc, INF)
+
+
+def _plane_t_reg(pl_ref, p, ox, oy, oz, ddx, ddy, ddz, lo, hi):
+    """(8,128) plane t for SMEM plane row ``p`` (reference: source/Utils.h:82-98)."""
+    nx_, ny_, nz_, d = pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 3]
+    denom = ddx * nx_ + ddy * ny_ + ddz * nz_
+    num = d - (ox * nx_ + oy * ny_ + oz * nz_)
+    dn_nz = denom != 0.0
+    tc = num / jnp.where(dn_nz, denom, 1.0)
+    return jnp.where(dn_nz & (tc >= lo) & (tc < hi), tc, INF)
+
+
+def _tri_t_reg(tri_ref, k, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow):
+    """(8,128) Möller–Trumbore t for SMEM triangle row ``k`` with cull modes;
+    shadow rays swap front/back culling (reference: source/Utils.h:109-184)."""
+    v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
+    e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
+    e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
+    nx_, ny_, nz_ = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
+    cull = tri_ref[k, 12]
+    cull_dot = nx_ * ddx + ny_ * ddy + nz_ * ddz
+    not_par = jnp.abs(cull_dot) >= FLT_EPSILON
+    cull_eff = jnp.where(cull == 2.0, 2.0, (1.0 - cull) if shadow else cull)
+    culled = ((cull_eff == 0.0) & (cull_dot < 0.0)) | ((cull_eff == 1.0) & (cull_dot > 0.0))
+    hx = ddy * e2z - ddz * e2y
+    hy = ddz * e2x - ddx * e2z
+    hz = ddx * e2y - ddy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    det_ok = jnp.abs(a) >= FLT_EPSILON
+    inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = inv_a * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv_a * (ddx * qx + ddy * qy + ddz * qz)
+    tc = inv_a * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    return jnp.where(not_par & ~culled & det_ok & ok & (tc >= lo) & (tc < hi), tc, INF)
+
+
+def _mat_of(ref, k, base):
+    """7 material scalars [kind, rgb, p0..p2] inlined in a prim's SMEM row."""
+    return tuple(ref[k, base + c] for c in range(7))
+
+
 def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
                  cam_ref, sph_ref, pl_ref, tri_ref, li_ref, out_ref):
     """One (8,128) ray tile end to end.  cam/sph/pl/tri/li live in SMEM."""
@@ -852,55 +920,15 @@ def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
         m2 = jnp.where(sel, mat[6], m2)
 
     def sphere_t_one(s, ox, oy, oz, ddx, ddy, ddz, lo, hi):
-        cx_, cy_, cz_, r2 = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3]
-        lx = cx_ - ox
-        ly = cy_ - oy
-        lz = cz_ - oz
-        l2 = _msqnorm(lx, ly, lz)
-        proj = ddx * lx + ddy * ly + ddz * lz
-        perp2 = l2 - proj * proj
-        inside = r2 >= perp2
-        tc = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
-        return jnp.where(inside & (tc >= lo) & (tc <= hi), tc, INF)
+        return _sphere_t_reg(sph_ref, s, ox, oy, oz, ddx, ddy, ddz, lo, hi)
 
     def plane_t_one(p, ox, oy, oz, ddx, ddy, ddz, lo, hi):
-        nx_, ny_, nz_, d = pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 3]
-        denom = ddx * nx_ + ddy * ny_ + ddz * nz_
-        num = d - (ox * nx_ + oy * ny_ + oz * nz_)
-        dn_nz = denom != 0.0
-        tc = num / jnp.where(dn_nz, denom, 1.0)
-        return jnp.where(dn_nz & (tc >= lo) & (tc < hi), tc, INF)
+        return _plane_t_reg(pl_ref, p, ox, oy, oz, ddx, ddy, ddz, lo, hi)
 
     def tri_t_one(k, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow):
-        v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
-        e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
-        e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
-        nx_, ny_, nz_ = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
-        cull = tri_ref[k, 12]
-        cull_dot = nx_ * ddx + ny_ * ddy + nz_ * ddz
-        not_par = jnp.abs(cull_dot) >= FLT_EPSILON
-        cull_eff = jnp.where(cull == 2.0, 2.0, (1.0 - cull) if shadow else cull)
-        culled = ((cull_eff == 0.0) & (cull_dot < 0.0)) | ((cull_eff == 1.0) & (cull_dot > 0.0))
-        hx = ddy * e2z - ddz * e2y
-        hy = ddz * e2x - ddx * e2z
-        hz = ddx * e2y - ddy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        det_ok = jnp.abs(a) >= FLT_EPSILON
-        inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
-        sx = ox - v0x
-        sy = oy - v0y
-        sz = oz - v0z
-        u = inv_a * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = inv_a * (ddx * qx + ddy * qy + ddz * qz)
-        tc = inv_a * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-        return jnp.where(not_par & ~culled & det_ok & ok & (tc >= lo) & (tc < hi), tc, INF)
+        return _tri_t_reg(tri_ref, k, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow)
 
-    def mat_of(ref, k, base):
-        return tuple(ref[k, base + c] for c in range(7))
+    mat_of = _mat_of
 
     for s in range(S):
         tc = sphere_t_one(s, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
@@ -1069,6 +1097,468 @@ def render_image_mega_f32(scene: Scene, config: RenderConfig):
 
 
 # ---------------------------------------------------------------------------
+# Megakernel v2: the megakernel's (8,128)-ray scalar-broadcast layout scaled
+# to big meshes.  Triangles live in SMEM and are iterated with a fori_loop
+# over a per-tile WORKLIST of 16-triangle cull groups, so per-ray math always
+# runs on single full (8,128) registers (the (RT, CT) fold layout pays 64
+# registers for every per-ray column op) and a culled group costs nothing.
+# Scenes larger than the ~128 KB SMEM budget run a CHAIN of launches that
+# carries the closest-hit / occlusion accumulators through aliased outputs.
+#
+# Replaces the reference's recursive BVH traversal (source/Utils.h:246-288)
+# at equal capability: log-time via data-parallel conservative culling
+# instead of per-ray pointer chasing.
+# ---------------------------------------------------------------------------
+
+MEGA2_G = 16  #: triangles per cull group (worklist granularity)
+MEGA2_MAX_SMEM_TRIS = 1200  #: per-launch SMEM triangle budget (~94 KB of 128)
+MEGA2_MAX_LAUNCHES = 8  #: chain cap -> mega2 serves up to 9600 triangles
+MEGA2_MAX_LIGHTS = 8
+MEGA2_MAX_UNROLL = 16  #: sphere/plane python-unroll budget per kernel
+
+
+def _mega2_raygen(cam_ref, i, W, H, tiled):
+    """Per-tile camera rays as (8,128) registers.  ``tiled``: the tile is a
+    compact 32x32 pixel block (tight direction cone -> effective culling);
+    otherwise 1024 row-major-consecutive pixels.  Same fp op order as
+    generate_rays (reference: source/Renderer.cpp:104-114)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    if tiled:
+        TX = W // 32
+        tx = jax.lax.rem(i, TX)
+        ty = jax.lax.div(i, TX)
+        pxi = tx * 32 + jax.lax.rem(lane, 32)
+        pyi = ty * 32 + sub * 4 + jax.lax.div(lane, 32)
+    else:
+        rid = (i * 8 + sub) * 128 + lane
+        pxi = jax.lax.rem(rid, W)
+        pyi = jax.lax.div(rid, W)
+    fov = cam_ref[0, 12]
+    aspect = cam_ref[0, 13]
+    ux = (pxi.astype(jnp.float32) + 0.5) / W
+    uy = (pyi.astype(jnp.float32) + 0.5) / H
+    cx = (2.0 * ux - 1.0) * aspect * fov
+    cy = (1.0 - 2.0 * uy) * fov
+    rox, roy, roz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    dx = cx * cam_ref[0, 3] + cy * cam_ref[0, 6] + cam_ref[0, 9]
+    dy = cx * cam_ref[0, 4] + cy * cam_ref[0, 7] + cam_ref[0, 10]
+    dz = cx * cam_ref[0, 5] + cy * cam_ref[0, 8] + cam_ref[0, 11]
+    d_len = jnp.sqrt(_msqnorm(dx, dy, dz))
+    return rox, roy, roz, dx / d_len, dy / d_len, dz / d_len
+
+
+def _make_mega2_closest_kernel(config, S, P, Tl, ngl, W, H, tiled, first, culled):
+    """One launch of the closest-hit chain over its SMEM triangle subset.
+    ``first`` also folds spheres/planes and initializes the accumulators;
+    later launches continue from the aliased accumulator inputs."""
+    tmin = float(config.ray_min)
+
+    def kernel(cam_ref, sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref, *refs):
+        i = pl.program_id(0)
+        cnt = cnt_ref[0, 0, 0]  # bind SMEM scalars outside any control flow
+        rox, roy, roz, rdx, rdy, rdz = _mega2_raygen(cam_ref, i, W, H, tiled)
+        out_refs = refs[0 if first else 11 :]
+
+        if first:
+            t = jnp.full((8, 128), INF, jnp.float32)
+            nx = jnp.zeros((8, 128), jnp.float32)
+            ny, nz, mk, mr, mg, mb, m0, m1, m2 = (jnp.zeros_like(nx) for _ in range(9))
+        else:
+            t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2 = (r[:] for r in refs[:11])
+
+        def upd(sel, tc, nc3, mat, acc):
+            t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2 = acc
+            t = jnp.where(sel, tc, t)
+            nx = jnp.where(sel, nc3[0], nx)
+            ny = jnp.where(sel, nc3[1], ny)
+            nz = jnp.where(sel, nc3[2], nz)
+            mk = jnp.where(sel, mat[0], mk)
+            mr = jnp.where(sel, mat[1], mr)
+            mg = jnp.where(sel, mat[2], mg)
+            mb = jnp.where(sel, mat[3], mb)
+            m0 = jnp.where(sel, mat[4], m0)
+            m1 = jnp.where(sel, mat[5], m1)
+            m2 = jnp.where(sel, mat[6], m2)
+            return t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2
+
+        acc = (t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2)
+        if first:
+            for s in range(S):
+                tc = _sphere_t_reg(sph_ref, s, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
+                # candidate normal normalized up front (same value as the
+                # reference's post-hit normalize, source/Scene.cpp:40)
+                px_ = rox + tc * rdx
+                py_ = roy + tc * rdy
+                pz_ = roz + tc * rdz
+                cnx = px_ - sph_ref[s, 0]
+                cny = py_ - sph_ref[s, 1]
+                cnz = pz_ - sph_ref[s, 2]
+                n_len = jnp.sqrt(jnp.maximum(_msqnorm(cnx, cny, cnz), 1e-20))
+                acc = upd(tc < acc[0], tc, (cnx / n_len, cny / n_len, cnz / n_len),
+                          _mat_of(sph_ref, s, 4), acc)
+            for p in range(P):
+                tc = _plane_t_reg(pl_ref, p, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
+                acc = upd(tc < acc[0], tc, (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2]),
+                          _mat_of(pl_ref, p, 4), acc)
+
+        if Tl:
+            def fold_group(base, acc):
+                for kk in range(MEGA2_G):
+                    k = base + kk
+                    tc = _tri_t_reg(tri_ref, k, rox, roy, roz, rdx, rdy, rdz,
+                                    tmin, INF, shadow=False)
+                    acc = upd(tc < acc[0], tc,
+                              (tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]),
+                              _mat_of(tri_ref, k, 13), acc)
+                return acc
+
+            if culled:
+                def body(j, acc):
+                    g = wl_ref[0, 0, j]
+                    return fold_group(g * MEGA2_G, acc)
+
+                acc = jax.lax.fori_loop(0, cnt, body, acc)
+            else:
+                for g in range(ngl):
+                    acc = fold_group(g * MEGA2_G, acc)
+
+        for ref, reg in zip(out_refs, acc):
+            ref[:] = reg
+
+    return kernel
+
+
+def _make_mega2_shadow_kernel(config, S, P, Tl, ngl, L, W, H, tiled, first, last, culled):
+    """One launch of the shadow/shade chain: folds this subset's occlusion
+    per light; the LAST launch also shades and tone-maps (the whole
+    RenderPixel tail, reference: source/Renderer.cpp:120-182, in-kernel)."""
+    tmin = float(config.ray_min)
+    shadows = bool(config.shadows)
+    mode_name = config.lighting_mode.name
+
+    def kernel(*refs):
+        cam_ref, sph_ref, pl_ref, tri_ref, li_ref, wl_ref, cnt_ref = refs[:7]
+        pos = 7
+        t_ref, nx_ref, ny_ref, nz_ref = refs[pos : pos + 4]
+        pos += 4
+        if last:
+            mat_refs = refs[pos : pos + 7]
+            pos += 7
+        occ_in = None
+        if shadows and not first:
+            occ_in = refs[pos : pos + L]
+            pos += L
+        out_refs = refs[pos:]
+
+        i = pl.program_id(0)
+        cnts = [cnt_ref[0, 0, li] for li in range(L)] if (shadows and Tl) else []
+        rox, roy, roz, rdx, rdy, rdz = _mega2_raygen(cam_ref, i, W, H, tiled)
+        t = t_ref[:]
+        nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+        hit = t < INF
+        ts = jnp.where(hit, t, 0.0)
+        px_ = rox + ts * rdx
+        py_ = roy + ts * rdy
+        pz_ = roz + ts * rdz
+        off = float(config.normal_offset)
+        ox_ = px_ + nx * off
+        oy_ = py_ + ny * off
+        oz_ = pz_ + nz * off
+        if last:
+            mk, mr, mg, mb, m0, m1, m2 = (r[:] for r in mat_refs)
+            vx, vy, vz = -rdx, -rdy, -rdz
+            cr = jnp.zeros((8, 128), jnp.float32)
+            cg = jnp.zeros_like(cr)
+            cb = jnp.zeros_like(cr)
+            sf = jnp.ones_like(cr)
+
+        for li in range(L):
+            lpx, lpy, lpz = li_ref[li, 0], li_ref[li, 1], li_ref[li, 2]
+            lint = li_ref[li, 6]
+            is_point = li_ref[li, 7] == 0.0
+            ldx = lpx - ox_
+            ldy = lpy - oy_
+            ldz = lpz - oz_
+            mag_pt = jnp.sqrt(_msqnorm(ldx, ldy, ldz))
+            lx = jnp.where(is_point, ldx / mag_pt, -lpx)
+            ly = jnp.where(is_point, ldy / mag_pt, -lpy)
+            lz = jnp.where(is_point, ldz / mag_pt, -lpz)
+            mag = jnp.where(is_point, mag_pt, 3.4028235e38)
+
+            if shadows:
+                # miss lanes start occluded: their shading is masked by `hit`
+                # anyway, and it lets the all-occluded early exit fire
+                occf = jnp.where(hit, 0.0, 1.0) if first else occ_in[li][:]
+                if first:
+                    for s in range(S):
+                        tc = _sphere_t_reg(sph_ref, s, ox_, oy_, oz_, lx, ly, lz, tmin, mag)
+                        occf = jnp.where(tc < INF, 1.0, occf)
+                    for p in range(P):
+                        tc = _plane_t_reg(pl_ref, p, ox_, oy_, oz_, lx, ly, lz, tmin, mag)
+                        occf = jnp.where(tc < INF, 1.0, occf)
+                if Tl:
+                    def fold_group(base, occf, lx=lx, ly=ly, lz=lz, mag=mag):
+                        for kk in range(MEGA2_G):
+                            tc = _tri_t_reg(tri_ref, base + kk, ox_, oy_, oz_,
+                                            lx, ly, lz, tmin, mag, shadow=True)
+                            occf = jnp.where(tc < INF, 1.0, occf)
+                        return occf
+
+                    if culled:
+                        # NOTE: an all-occluded early exit (while_loop whose
+                        # cond reduces occf) measured 8-24% SLOWER than this
+                        # plain fori — the scalar reduction serializes the
+                        # loop and kills Mosaic's iteration pipelining
+                        def body(j, occf, li=li, fold_group=fold_group):
+                            g = wl_ref[0, li, j]
+                            return fold_group(g * MEGA2_G, occf)
+
+                        occf = jax.lax.fori_loop(0, cnts[li], body, occf)
+                    else:
+                        for g in range(ngl):
+                            occf = fold_group(g * MEGA2_G, occf)
+                if not last:
+                    out_refs[li][:] = occf
+                else:
+                    lit = jnp.logical_not((occf > 0.5) & hit)
+                    sf = sf * jnp.where(lit, 1.0, float(config.shadow_dim))
+            else:
+                lit = jnp.ones((8, 128), jnp.bool_)
+
+            if last:
+                wr, wg, wb = _shade_one_light(
+                    mode_name, is_point,
+                    (lpx, lpy, lpz), (li_ref[li, 3], li_ref[li, 4], li_ref[li, 5]), lint,
+                    (px_, py_, pz_), (nx, ny, nz), (lx, ly, lz), (vx, vy, vz),
+                    (mk, mr, mg, mb, m0, m1, m2),
+                )
+                cr = cr + jnp.where(lit, wr, 0.0)
+                cg = cg + jnp.where(lit, wg, 0.0)
+                cb = cb + jnp.where(lit, wb, 0.0)
+
+        if last:
+            cr = jnp.where(hit, cr * sf, 0.0)
+            cg = jnp.where(hit, cg * sf, 0.0)
+            cb = jnp.where(hit, cb * sf, 0.0)
+            cr, cg, cb = _tonemap_rgb(cr, cg, cb)
+            out_refs[0][0, :, :] = cr
+            out_refs[0][1, :, :] = cg
+            out_refs[0][2, :, :] = cb
+
+    return kernel
+
+
+def _mega2_fold(x, h, w):
+    """Row-major (H*W, C) -> mega2 tile order: 32x32 pixel blocks, each laid
+    out as (sublane, lane) = (py//4, (py%4)*32+px) within the tile."""
+    c = x.shape[-1]
+    return (
+        x.reshape(h // 32, 8, 4, w // 32, 32, c)
+        .transpose(0, 3, 1, 2, 4, 5)
+        .reshape(-1, c)
+    )
+
+
+def _mega2_unfold_colors(cols3, h, w, tiled, R):
+    """(3, rows_pad, 128) kernel output -> (H, W, 3) image."""
+    if tiled:
+        TY, TX = h // 32, w // 32
+        x = cols3[:, : TY * TX * 8, :]
+        x = x.reshape(3, TY, TX, 8, 4, 32).transpose(0, 1, 3, 4, 2, 5).reshape(3, h, w)
+        return jnp.moveaxis(x, 0, -1)
+    flat = cols3.reshape(3, -1)[:, :R]
+    return jnp.moveaxis(flat.reshape(3, h, w), 0, -1)
+
+
+def render_image_mega2_f32(scene: Scene, config: RenderConfig):
+    """Whole-frame mega2 render -> (H, W, 3) f32.
+
+    Two Pallas launch chains (closest-hit, then shadow+shade) with all
+    per-ray math on (8,128) registers; XLA in between only builds the
+    per-(tile, light) cull worklists from the closest-hit depths."""
+    from raytpu.ops import accel, shading as _shading
+
+    W, H = config.width, config.height
+    R = W * H
+    L = scene.lights.count
+    tmin = float(config.ray_min)
+    tiled = (W % 32 == 0) and (H % 32 == 0)
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = _interpret or jax.default_backend() == "cpu"
+
+    cam, sph, pln, tri_blob, li = _mega_pack(scene, config)
+    S, P, T = sph.shape[0], pln.shape[0], tri_blob.shape[0]
+    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)  # degenerate pad tris miss
+    ng = tri_blob.shape[0] // MEGA2_G
+    gpl = max(1, MEGA2_MAX_SMEM_TRIS // MEGA2_G)  # groups per launch
+    NL = max(1, _cdiv(ng, gpl))
+    ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)]
+    culled = T >= 2 * MEGA2_G
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    # per-TILE SMEM rows (worklists/counts) advance with the grid index
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
+    sph_in = sph if S else jnp.zeros((1, 11), jnp.float32)
+    pln_in = pln if P else jnp.zeros((1, 11), jnp.float32)
+    li_in = li if L else jnp.zeros((1, 8), jnp.float32)
+
+    # ---- XLA: primary-ray cull worklists (per launch subset) ----
+    ro, rd = _renderer.generate_rays(scene.camera, config)
+    rd_f = _mega2_fold(rd, H, W) if tiled else rd
+    if culled:
+        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)  # (ng, 3) x2
+        rb = accel.ray_tile_bounds(
+            jnp.broadcast_to(ro, rd_f.shape), rd_f, INF, tile=1024
+        )
+        cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
+
+    def worklists(cull_sub):
+        wl, cnt = chunk_worklist(cull_sub)
+        return wl, cnt
+
+    # ---- closest-hit chain ----
+    accs = None
+    for k, (ga, gb) in enumerate(ranges):
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G
+        tri_k = tri_blob[ga * MEGA2_G : gb * MEGA2_G]
+        if culled:
+            wl_k, cnt_k = worklists(cullm[:, ga:gb])
+        else:
+            wl_k = jnp.zeros((nt, max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, 1), ngl, jnp.int32)
+        first = k == 0
+        kern = _make_mega2_closest_kernel(
+            config, S if first else 0, P if first else 0, Tl, ngl, W, H, tiled,
+            first, culled,
+        )
+        in_specs = [
+            smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
+            smem((max(Tl, 1), 20)), smem_t((1, 1, max(ngl, 1))), smem_t((1, 1, 1)),
+        ]
+        ins = [
+            cam, sph_in, pln_in,
+            tri_k if Tl else jnp.zeros((1, 20), jnp.float32),
+            wl_k[:, None, :], cnt_k[:, :, None],
+        ]
+        aliases = {}
+        if not first:
+            in_specs += [vtile] * 11
+            ins += list(accs)
+            aliases = {6 + j: j for j in range(11)}
+        accs = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[vtile] * 11,
+            out_shape=[acc_shape] * 11,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+
+    t_acc, nx_a, ny_a, nz_a = accs[0], accs[1], accs[2], accs[3]
+
+    if L == 0:
+        return jnp.zeros((H, W, 3), jnp.float32)  # no lights -> black (W1)
+
+    # ---- XLA: shadow-ray cull worklists from the closest-hit depths ----
+    sh_wl = sh_cnt = None
+    if culled and config.shadows:
+        t_flat = t_acc.reshape(-1)[: nt * 1024]
+        n_flat = jnp.stack(
+            [a.reshape(-1)[: nt * 1024] for a in (nx_a, ny_a, nz_a)], axis=1
+        )
+        rdp = _pad_axis(rd_f, 0, 1024, 0.0)
+        hit_f = jnp.isfinite(t_flat)
+        p_off = (
+            ro[None, :]
+            + jnp.where(hit_f, t_flat, 0.0)[:, None] * rdp
+            + n_flat * jnp.float32(config.normal_offset)
+        )
+        wls = []
+        for li_i in range(L):
+            ld, mag = _shading.direction_to_light(scene.lights, li_i, p_off)
+            # a missed ray needs no shadow test: zero-length segment
+            mag = jnp.where(hit_f, mag, 0.0)
+            rb_l = accel.ray_tile_bounds(p_off, ld, mag, tile=1024)
+            wls.append(accel.cull_matrix(rb_l, glo, ghi, tmin))
+        sh_cull = jnp.stack(wls, axis=1)  # (nt, L, ng)
+
+    # ---- shadow + shade chain ----
+    sh_ranges = ranges if (config.shadows and T) else [ranges[-1]]
+    occs = None
+    colors = None
+    for idx, (ga, gb) in enumerate(sh_ranges):
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G if (config.shadows and T) else 0
+        tri_k = tri_blob[ga * MEGA2_G : gb * MEGA2_G]
+        first = idx == 0
+        last = idx == len(sh_ranges) - 1
+        if culled and config.shadows:
+            wl3, cnt2 = [], []
+            for li_i in range(L):
+                w_, c_ = chunk_worklist(sh_cull[:, li_i, ga:gb])
+                wl3.append(w_)
+                cnt2.append(c_)
+            wl_k = jnp.stack(wl3, axis=1)  # (nt, L, ngl)
+            cnt_k = jnp.concatenate(cnt2, axis=1)  # (nt, L)
+        else:
+            wl_k = jnp.zeros((nt, max(L, 1), max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, max(L, 1)), ngl, jnp.int32)
+        kern = _make_mega2_shadow_kernel(
+            config, S if first else 0, P if first else 0, Tl, ngl, L, W, H,
+            tiled, first, last, culled,
+        )
+        in_specs = [
+            smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
+            smem((max(Tl, 1), 20)), smem((max(L, 1), 8)),
+            smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
+            vtile, vtile, vtile, vtile,
+        ]
+        ins = [
+            cam, sph_in, pln_in,
+            tri_k if Tl else jnp.zeros((1, 20), jnp.float32),
+            li_in, wl_k, cnt_k[:, None, :],
+            t_acc, nx_a, ny_a, nz_a,
+        ]
+        aliases = {}
+        if last:
+            in_specs += [vtile] * 7
+            ins += list(accs[4:])
+        if config.shadows and not first:
+            base = len(ins)
+            in_specs += [vtile] * L
+            ins += list(occs)
+            if not last:
+                aliases = {base + j: j for j in range(L)}
+        if last:
+            out_specs = pl.BlockSpec((3, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32)
+        else:
+            out_specs = [vtile] * L
+            out_shape = [acc_shape] * L
+        res = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+        if last:
+            colors = res
+        else:
+            occs = res
+
+    return _mega2_unfold_colors(colors, H, W, tiled, R)
+
+
+# ---------------------------------------------------------------------------
 # Full-frame renderer on the Pallas backend
 # ---------------------------------------------------------------------------
 
@@ -1119,6 +1609,14 @@ def render_image_f32(scene: Scene, config: RenderConfig):
     nprims = scene.num_primitives
     if nprims <= MEGA_MAX_PRIMS and scene.lights.count <= MEGA_MAX_LIGHTS and not config.soft_shadows:
         return render_image_mega_f32(scene, config)
+    if (
+        scene.triangles.count <= MEGA2_MAX_LAUNCHES * MEGA2_MAX_SMEM_TRIS
+        and scene.spheres.count <= MEGA2_MAX_UNROLL
+        and scene.planes.count <= MEGA2_MAX_UNROLL
+        and scene.lights.count <= MEGA2_MAX_LIGHTS
+        and not config.soft_shadows
+    ):
+        return render_image_mega2_f32(scene, config)
     if scene.triangles.count > MAX_VMEM_TRIS or config.soft_shadows:
         return _renderer.render_image_f32(scene, config)
     W, H = config.width, config.height
