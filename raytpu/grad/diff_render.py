@@ -23,13 +23,32 @@ import jax
 import jax.numpy as jnp
 
 from raytpu.core.types import RenderConfig, Scene
+from raytpu.grad.fast import detached_closest_hit
+from raytpu.render import renderer
 from raytpu.render.renderer import render_image_f32
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_soft_f32(scene: Scene, config: RenderConfig):
+    """f32 soft-shadow render on the FAST differentiable path.
+
+    Same primal image as the plain jnp soft render, but the closest-hit
+    argmin is detached (``raytpu.grad.fast``), so autodiff only pays O(R)
+    for the hit re-derivation instead of O(R*N) through the t-matrix.
+    Soft shadow transmittance keeps its full all-primitive product (and
+    its gradients) — that term is the point of the soft render.
+    """
+    cfg = dataclasses.replace(config, soft_shadows=True)
+    ro, rd = renderer.generate_rays(scene.camera, cfg)
+    colors = renderer.render_pixels_f32(
+        scene, ro, rd, cfg, closest_fn=detached_closest_hit
+    )
+    return colors.reshape(cfg.height, cfg.width, 3)
 
 
 def render_soft(scene: Scene, config: RenderConfig):
     """f32 render with soft (differentiable) shadow visibility."""
-    cfg = dataclasses.replace(config, soft_shadows=True)
-    return render_image_f32(scene, cfg)
+    return render_soft_f32(scene, config)
 
 
 def image_loss(scene: Scene, target, config: RenderConfig):

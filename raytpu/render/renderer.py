@@ -132,18 +132,18 @@ def _auto_chunk(num_rays: int, num_prims: int) -> int:
     return chunk
 
 
-def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig):
+def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None):
     """Chunked shade_rays over an arbitrary flat ray batch."""
     n = rd.shape[0]
     nprim = max(scene.num_primitives, 1)
     chunk = config.ray_chunk or _auto_chunk(n, nprim)
     if n <= chunk:
-        return shade_rays(scene, ro, rd, config)
+        return shade_rays(scene, ro, rd, config, closest_fn=closest_fn)
     pad = (-n) % chunk
     # edge-replicate: padded rays duplicate a real ray, so the padded lanes
     # can't introduce gradients/partials that real rays don't have
     rd_p = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge").reshape(-1, chunk, 3)
-    body = lambda rds: shade_rays(scene, ro, rds, config)
+    body = lambda rds: shade_rays(scene, ro, rds, config, closest_fn=closest_fn)
     out = jax.lax.map(body, rd_p).reshape(-1, 3)
     return out[:n]
 
