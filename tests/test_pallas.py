@@ -150,3 +150,76 @@ def test_bundled_icosphere_asset_renders():
     scene = b.build()
     img = np.asarray(pk.render_image(scene, SMALL))
     assert img.any()
+
+
+# ---------------------------------------------------------------------------
+# Megakernel v2 (SMEM worklist kernels)
+# ---------------------------------------------------------------------------
+
+
+def _mega2_u8(scene, cfg):
+    from raytpu.core import math3d
+
+    return np.asarray(math3d.quantize_u8(pk.render_image_mega2_f32(scene, cfg)))
+
+
+def test_mega2_bunny_untiled_and_tiled():
+    scene = _scene("bunny")
+    # 64x48: H%32 != 0 -> row-major 1024-ray tiles; 128x96: 32x32 pixel tiles
+    for cfg in [RenderConfig(width=64, height=48), RenderConfig(width=128, height=96)]:
+        a = np.asarray(render_image(scene, cfg))
+        b = _mega2_u8(scene, cfg)
+        _close(a, b)
+
+
+def test_mega2_launch_chain_on_optional():
+    # optional (3087 tris) needs a 3-launch chain through aliased accumulators
+    scene = _scene("optional")
+    assert scene.triangles.count > pk.MEGA2_MAX_SMEM_TRIS
+    cfg = RenderConfig(width=64, height=48)
+    a = np.asarray(render_image(scene, cfg))
+    b = _mega2_u8(scene, cfg)
+    _close(a, b)
+
+
+def test_mega2_modes_and_toggles():
+    scene = _scene("bunny")
+    for cfg in [
+        RenderConfig(width=32, height=24, lighting_mode=LightingMode.BRDF),
+        RenderConfig(width=32, height=24, lighting_mode=LightingMode.OBSERVED_AREA),
+        RenderConfig(width=32, height=24, shadows=False),
+    ]:
+        a = np.asarray(render_image(scene, cfg))
+        b = _mega2_u8(scene, cfg)
+        _close(a, b)
+
+
+def test_mega2_no_lights_is_black():
+    # W1 has geometry but no lights: mega2 short-circuits to a black frame
+    img = _mega2_u8(_scene("w1"), SMALL)
+    assert img.shape == (24, 32, 3) and not img.any()
+
+
+def test_chunked_dispatch_band_still_covered():
+    """Scenes in the (9600, 32768] triangle band dispatch to the chunked
+    kernels (mega2 serves <=9600): pin that path's dispatch + output."""
+    import jax.numpy as jnp
+
+    from raytpu.core.types import CullMode, SceneBuilder
+
+    rng = np.random.default_rng(1)
+    n = pk.MEGA2_MAX_LAUNCHES * pk.MEGA2_MAX_SMEM_TRIS + 64
+    assert n <= pk.MAX_VMEM_TRIS
+    base = rng.uniform(-3, 3, (n, 1, 3))
+    tris = (base + rng.uniform(-0.08, 0.08, (n, 3, 3))).astype(np.float32)
+    b = SceneBuilder()
+    white = b.add_lambert((1.0, 1.0, 1.0), 1.0)
+    m = b.add_triangle_mesh(CullMode.NONE, white)
+    m.set_geometry(tris.reshape(-1, 3), np.arange(3 * n, dtype=np.int32))
+    b.add_point_light((0.0, 0.0, -5.0), 50.0, (1, 1, 1))
+    b.set_camera((0, 0, -8), fov_degrees=60.0)
+    scene = b.build()
+    cfg = RenderConfig(width=16, height=12)
+    a = np.asarray(render_image(scene, cfg))
+    out = np.asarray(pk.render_image(scene, cfg))
+    _close(a, out)
