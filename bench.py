@@ -140,11 +140,9 @@ def bench_grad(args, scene, config, num_rays) -> int:
     target = jnp.zeros((config.height, config.width, 3), jnp.float32)
     soft_cfg = dataclasses.replace(config, soft_shadows=True)
 
-    from raytpu.render.renderer import render_image_f32
-
     def loss_fn(params):
         s = diff_render.merge_material_params(scene, params)
-        img = render_image_f32(s, soft_cfg)
+        img = diff_render.render_soft_f32(s, soft_cfg)
         return jnp.mean((img - target) ** 2)
 
     @functools.partial(jax.jit, static_argnames=("n",))

@@ -28,20 +28,25 @@ from raytpu.render import renderer
 from raytpu.render.renderer import render_image_f32
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def render_soft_f32(scene: Scene, config: RenderConfig):
+@functools.partial(jax.jit, static_argnames=("config", "detached"))
+def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True):
     """f32 soft-shadow render on the FAST differentiable path.
 
-    Same primal image as the plain jnp soft render, but the closest-hit
-    argmin is detached (``raytpu.grad.fast``), so autodiff only pays O(R)
-    for the hit re-derivation instead of O(R*N) through the t-matrix.
-    Soft shadow transmittance keeps its full all-primitive product (and
-    its gradients) — that term is the point of the soft render.
+    Two measured wins over naive ``grad(render)`` (PERF.md round 2):
+      * the shade is rematerialized (``jax.checkpoint``): the backward pass
+        recomputes the fused forward instead of streaming O(R*N) residuals
+        from HBM (the backward was ~10x the forward, HBM-bound);
+      * ``detached`` (default): closest hits route through
+        ``raytpu.grad.fast.detached_closest_hit`` — O(R) differentiated hit
+        re-derivation with one-hot matmul gathers, so the autodiff graph
+        never transposes the O(R*N) t-matrix.
     """
     cfg = dataclasses.replace(config, soft_shadows=True)
     ro, rd = renderer.generate_rays(scene.camera, cfg)
     colors = renderer.render_pixels_f32(
-        scene, ro, rd, cfg, closest_fn=detached_closest_hit
+        scene, ro, rd, cfg,
+        closest_fn=detached_closest_hit if detached else None,
+        remat=True,
     )
     return colors.reshape(cfg.height, cfg.width, 3)
 

@@ -14,6 +14,11 @@ work instead of O(R*N).  The value is the same math on the same winner as
 :func:`raytpu.ops.intersect.closest_hit`, so the primal image is unchanged;
 only the (exactly-zero-a.e.) boundary gradients are dropped.
 
+Gathers of the winning primitive's parameters are expressed as one-hot
+matmuls with a detached one-hot matrix: the VJP of an indexed gather is a
+scatter-add, which serializes badly on TPU, while the matmul's transpose is
+another matmul on the MXU.
+
 The expensive differentiable term that REMAINS O(R*N*L) is
 ``soft_transmittance`` — intentionally: its sigmoid shadow edges are the
 gradients inverse rendering needs (every nearby occluder contributes, not
@@ -34,12 +39,29 @@ from raytpu.ops import intersect
 from raytpu.ops.intersect import FLT_EPSILON, INF, HitRecords
 
 
-def detached_closest_hit(scene, ro, rd, tmin) -> HitRecords:
+def _gather_rows(table, li, mask, use_onehot):
+    """Differentiable ``table[li]`` with rows zeroed where ``~mask``.
+
+    ``use_onehot``: dispatch via a detached one-hot matmul (MXU-friendly
+    VJP — the gradient to ``table`` is a matmul, not a TPU scatter-add).
+    """
+    if not use_onehot:
+        return jnp.where(mask.reshape((-1,) + (1,) * (table.ndim - 1)), table[li], 0.0)
+    flat = table.reshape(table.shape[0], -1)
+    oh = ((li[:, None] == jnp.arange(table.shape[0])[None, :]) & mask[:, None]).astype(
+        flat.dtype
+    )
+    out = jax.lax.stop_gradient(oh) @ flat
+    return out.reshape((li.shape[0],) + table.shape[1:])
+
+
+def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitRecords:
     """Drop-in for ``intersect.closest_hit`` with a detached argmin.
 
     Differentiable w.r.t. scene geometry through the winning primitive's
     re-derived t/normal; the winner selection itself carries no gradient
-    (exact a.e. — see module docstring).
+    (exact a.e. — see module docstring).  Classes with ``count <= onehot_max``
+    gather via one-hot matmuls; larger tables fall back to indexed gathers.
     """
     sg = jax.lax.stop_gradient
     tmat = intersect.scene_t_matrix(
@@ -53,19 +75,24 @@ def detached_closest_hit(scene, ro, rd, tmin) -> HitRecords:
     t = jnp.full((R,), INF, rd.dtype)
     normal = jnp.zeros((R, 3), rd.dtype)
     material = jnp.zeros((R,), jnp.int32)
+    c_sph = None
 
     if S:
         in_s = (idx < S) & hit
         si = jnp.clip(idx, 0, S - 1)
-        c = scene.spheres.center[si]  # (R,3), grads scatter-add back
-        r = scene.spheres.radius[si]
-        L = c - ro
+        cr = _gather_rows(
+            jnp.concatenate(
+                [scene.spheres.center, scene.spheres.radius[:, None]], axis=1
+            ),
+            si, in_s, S <= onehot_max,
+        )
+        c_sph, r = cr[:, :3], cr[:, 3]
+        L = c_sph - ro
         proj = jnp.sum(rd * L, axis=-1)
         perp2 = jnp.sum(L * L, axis=-1) - proj * proj
-        r2 = r * r
-        # double-where: sqrt argument of non-winning lanes is clamped so its
-        # unbounded partial never enters the VJP (CLAUDE.md gradient safety)
-        arg = jnp.where(in_s, r2 - perp2, 1.0)
+        # double-where: the sqrt argument of non-winning lanes is clamped so
+        # its unbounded partial never enters the VJP (CLAUDE.md grad safety)
+        arg = jnp.where(in_s, r * r - perp2, 1.0)
         t_s = proj - jnp.sqrt(jnp.maximum(arg, 1e-20))
         t = jnp.where(in_s, t_s, t)
         material = jnp.where(in_s, scene.spheres.material[si], material)
@@ -73,8 +100,11 @@ def detached_closest_hit(scene, ro, rd, tmin) -> HitRecords:
     if P:
         in_p = (idx >= S) & (idx < S + P) & hit
         pi = jnp.clip(idx - S, 0, P - 1)
-        n_p = scene.planes.normal[pi]
-        o_p = scene.planes.origin[pi]
+        no = _gather_rows(
+            jnp.concatenate([scene.planes.normal, scene.planes.origin], axis=1),
+            pi, in_p, P <= onehot_max,
+        )
+        n_p, o_p = no[:, :3], no[:, 3:]
         denom = jnp.sum(rd * n_p, axis=-1)
         denom = jnp.where(in_p & (jnp.abs(denom) > FLT_EPSILON), denom, 1.0)
         t_p = jnp.sum((o_p - ro) * n_p, axis=-1) / denom
@@ -86,9 +116,13 @@ def detached_closest_hit(scene, ro, rd, tmin) -> HitRecords:
         in_t = (idx >= S + P) & hit
         ti = jnp.clip(idx - S - P, 0, T - 1)
         tr = scene.triangles
-        v0 = tr.v0[ti]
-        e1 = tr.v1[ti] - v0
-        e2 = tr.v2[ti] - v0
+        rows = _gather_rows(
+            jnp.concatenate([tr.v0, tr.v1, tr.v2, tr.normal], axis=1),
+            ti, in_t, T <= onehot_max,
+        )
+        v0, v1, v2, n_t = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
+        e1 = v1 - v0
+        e2 = v2 - v0
         h = jnp.cross(rd, e2)
         a = jnp.sum(e1 * h, axis=-1)
         a = jnp.where(in_t & (jnp.abs(a) >= FLT_EPSILON), a, 1.0)
@@ -96,7 +130,7 @@ def detached_closest_hit(scene, ro, rd, tmin) -> HitRecords:
         q = jnp.cross(s, e1)
         t_t = jnp.sum(e2 * q, axis=-1) / a
         t = jnp.where(in_t, t_t, t)
-        normal = jnp.where(in_t[:, None], tr.normal[ti], normal)
+        normal = jnp.where(in_t[:, None], n_t, normal)
         material = jnp.where(in_t, tr.material[ti], material)
 
     t_safe = jnp.where(hit, t, 0.0)
@@ -104,8 +138,7 @@ def detached_closest_hit(scene, ro, rd, tmin) -> HitRecords:
 
     if S:
         # sphere normal normalized after selection (reference: source/Scene.cpp:40)
-        c_all = scene.spheres.center[jnp.clip(idx, 0, S - 1)]
-        n_s = math3d.normalize_safe(point - c_all)
+        n_s = math3d.normalize_safe(point - c_sph)
         normal = jnp.where(((idx < S) & hit)[:, None], n_s, normal)
 
     return HitRecords(

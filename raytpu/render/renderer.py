@@ -124,27 +124,40 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
 
 
 def _auto_chunk(num_rays: int, num_prims: int) -> int:
-    """Ray-chunk size keeping the (rays x prims) t-matrix ~<=32M elements."""
+    """Ray-chunk size keeping the (rays x prims) t-matrix ~<=32M elements.
+
+    Chunks are balanced (ceil-div) and 1024-aligned so the final chunk is
+    nearly full: a power-of-two chunk on 640x480 (307,200 rays) padded to
+    2x262,144 — 71% wasted work.
+    """
     target = max(1024, (1 << 25) // max(num_prims, 1))
-    chunk = 1024
-    while chunk * 2 <= min(target, num_rays):
-        chunk *= 2
-    return chunk
+    if num_rays <= target:
+        return max(num_rays, 1)
+    n_chunks = -(-num_rays // target)
+    return 1024 * (-(-num_rays // (n_chunks * 1024)))
 
 
-def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None):
-    """Chunked shade_rays over an arbitrary flat ray batch."""
+def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None,
+                      remat: bool = False):
+    """Chunked shade_rays over an arbitrary flat ray batch.
+
+    ``remat``: wrap the shade in ``jax.checkpoint`` so a backward pass
+    recomputes the forward instead of loading its residuals from HBM — the
+    differentiable path's backward is HBM-bound, not FLOP-bound (PERF.md).
+    """
     n = rd.shape[0]
     nprim = max(scene.num_primitives, 1)
     chunk = config.ray_chunk or _auto_chunk(n, nprim)
+    body = lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn)
+    if remat:
+        body = jax.checkpoint(body)
     if n <= chunk:
-        return shade_rays(scene, ro, rd, config, closest_fn=closest_fn)
+        return body(scene, rd)
     pad = (-n) % chunk
     # edge-replicate: padded rays duplicate a real ray, so the padded lanes
     # can't introduce gradients/partials that real rays don't have
     rd_p = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge").reshape(-1, chunk, 3)
-    body = lambda rds: shade_rays(scene, ro, rds, config, closest_fn=closest_fn)
-    out = jax.lax.map(body, rd_p).reshape(-1, 3)
+    out = jax.lax.map(lambda rds: body(scene, rds), rd_p).reshape(-1, 3)
     return out[:n]
 
 

@@ -103,10 +103,11 @@ def test_mesh_vertex_gradients(tri_scene):
 
 def test_gradients_are_finite(tri_scene):
     # no NaN/inf anywhere in a full-scene gradient (double-where guards work).
-    # 64x48 matters: it includes fully-black pixels (max_to_one guard) and
-    # exercises the chunked lax.map path (edge padding)
+    # 64x48 matters: it includes fully-black pixels (max_to_one guard);
+    # ray_chunk=1024 forces the chunked lax.map path (edge padding)
     def loss(s):
-        return jnp.sum(render_image_f32(s, RenderConfig(width=64, height=48, soft_shadows=True)))
+        return jnp.sum(render_image_f32(
+            s, RenderConfig(width=64, height=48, soft_shadows=True, ray_chunk=1024)))
 
     grads = jax.grad(loss, allow_int=True)(tri_scene)
     for leaf in jax.tree_util.tree_leaves(grads):
