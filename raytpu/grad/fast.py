@@ -72,6 +72,9 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
 
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
     R = rd.shape[0]
+    # the (R, count) one-hot must also fit comfortably in HBM next to the
+    # t-matrix: past ~32M elements fall back to indexed gathers
+    onehot_max = min(onehot_max, max(1, (1 << 25) // max(R, 1)))
     t = jnp.full((R,), INF, rd.dtype)
     normal = jnp.zeros((R, 3), rd.dtype)
     material = jnp.zeros((R,), jnp.int32)
