@@ -31,8 +31,12 @@ def _now() -> float:
 class FrameTimer:
     """Frame clock with 1 Hz FPS windows (reference: source/Timer.cpp:67-132)."""
 
-    def __init__(self, fps_window: float = 1.0):
+    def __init__(self, fps_window: float = 1.0, elapsed_upper_bound: float | None = None):
+        """``elapsed_upper_bound``: optional per-frame dt clamp, so one hitch
+        (e.g. a recompile) can't blow up dt-driven camera motion
+        (reference: source/Timer.cpp:83-89 ForceElapsedUpperBound)."""
         self._window = fps_window
+        self._upper = elapsed_upper_bound
         self.reset()
 
     def reset(self):
@@ -48,7 +52,9 @@ class FrameTimer:
 
     def tick(self) -> None:
         now = _now()
-        self.elapsed = now - self._last
+        self.elapsed = max(now - self._last, 0.0)
+        if self._upper is not None and self.elapsed > self._upper:
+            self.elapsed = self._upper
         self._last = now
         self.total = now - self._start
         self._frames_in_window += 1

@@ -81,6 +81,16 @@ def test_frame_timer_ticks():
     assert t.total >= 0.0 and t.elapsed >= 0.0
 
 
+def test_frame_timer_elapsed_upper_bound():
+    # per-frame dt clamp (reference: source/Timer.cpp:83-89)
+    import time
+
+    t = FrameTimer(elapsed_upper_bound=0.001)
+    time.sleep(0.01)
+    t.tick()
+    assert t.elapsed == 0.001
+
+
 def test_ray_stats():
     s = RayStats()
     s.add_frame(640, 480, 3, 0.5)
