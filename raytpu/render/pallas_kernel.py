@@ -1110,7 +1110,7 @@ def render_image_mega_f32(scene: Scene, config: RenderConfig):
 # instead of per-ray pointer chasing.
 # ---------------------------------------------------------------------------
 
-MEGA2_G = 16  #: triangles per cull group (worklist granularity)
+MEGA2_G = 8  #: triangles per cull group (worklist granularity; swept 4/8/16 on v5e — 8 wins)
 MEGA2_MAX_SMEM_TRIS = 1200  #: per-launch SMEM triangle budget (~94 KB of 128)
 MEGA2_MAX_LAUNCHES = 8  #: chain cap -> mega2 serves up to 9600 triangles
 MEGA2_MAX_LIGHTS = 8
