@@ -165,8 +165,9 @@ def _mega2_u8(scene, cfg):
 
 def test_mega2_bunny_untiled_and_tiled():
     scene = _scene("bunny")
-    # 64x48: H%32 != 0 -> row-major 1024-ray tiles; 128x96: 32x32 pixel tiles
-    for cfg in [RenderConfig(width=64, height=48), RenderConfig(width=128, height=96)]:
+    # 64x48: H%32 != 0 -> row-major 1024-ray tiles; 64x32: 32x32 pixel tiles
+    # (2x1 tile grid exercises the tx/ty tile indexing at interpret-mode cost)
+    for cfg in [RenderConfig(width=64, height=48), RenderConfig(width=64, height=32)]:
         a = np.asarray(render_image(scene, cfg))
         b = _mega2_u8(scene, cfg)
         _close(a, b)
@@ -176,7 +177,7 @@ def test_mega2_launch_chain_on_optional():
     # optional (3087 tris) needs a 3-launch chain through aliased accumulators
     scene = _scene("optional")
     assert scene.triangles.count > pk.MEGA2_MAX_SMEM_TRIS
-    cfg = RenderConfig(width=64, height=48)
+    cfg = RenderConfig(width=32, height=24)  # chain length is resolution-independent
     a = np.asarray(render_image(scene, cfg))
     b = _mega2_u8(scene, cfg)
     _close(a, b)
