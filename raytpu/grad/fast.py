@@ -85,7 +85,12 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
         si = jnp.clip(idx, 0, S - 1)
         cr = _gather_rows(
             jnp.concatenate(
-                [scene.spheres.center, scene.spheres.radius[:, None]], axis=1
+                [
+                    scene.spheres.center,
+                    scene.spheres.radius[:, None],
+                    scene.spheres.material[:, None].astype(rd.dtype),
+                ],
+                axis=1,
             ),
             si, in_s, S <= onehot_max,
         )
@@ -98,29 +103,40 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
         arg = jnp.where(in_s, r * r - perp2, 1.0)
         t_s = proj - jnp.sqrt(jnp.maximum(arg, 1e-20))
         t = jnp.where(in_s, t_s, t)
-        material = jnp.where(in_s, scene.spheres.material[si], material)
+        # material ids are small ints: exact through the f32 gather
+        material = jnp.where(in_s, jnp.round(cr[:, 4]).astype(jnp.int32), material)
 
     if P:
         in_p = (idx >= S) & (idx < S + P) & hit
         pi = jnp.clip(idx - S, 0, P - 1)
         no = _gather_rows(
-            jnp.concatenate([scene.planes.normal, scene.planes.origin], axis=1),
+            jnp.concatenate(
+                [
+                    scene.planes.normal,
+                    scene.planes.origin,
+                    scene.planes.material[:, None].astype(rd.dtype),
+                ],
+                axis=1,
+            ),
             pi, in_p, P <= onehot_max,
         )
-        n_p, o_p = no[:, :3], no[:, 3:]
+        n_p, o_p = no[:, :3], no[:, 3:6]
         denom = jnp.sum(rd * n_p, axis=-1)
         denom = jnp.where(in_p & (jnp.abs(denom) > FLT_EPSILON), denom, 1.0)
         t_p = jnp.sum((o_p - ro) * n_p, axis=-1) / denom
         t = jnp.where(in_p, t_p, t)
         normal = jnp.where(in_p[:, None], n_p, normal)
-        material = jnp.where(in_p, scene.planes.material[pi], material)
+        material = jnp.where(in_p, jnp.round(no[:, 6]).astype(jnp.int32), material)
 
     if T:
         in_t = (idx >= S + P) & hit
         ti = jnp.clip(idx - S - P, 0, T - 1)
         tr = scene.triangles
         rows = _gather_rows(
-            jnp.concatenate([tr.v0, tr.v1, tr.v2, tr.normal], axis=1),
+            jnp.concatenate(
+                [tr.v0, tr.v1, tr.v2, tr.normal, tr.material[:, None].astype(rd.dtype)],
+                axis=1,
+            ),
             ti, in_t, T <= onehot_max,
         )
         v0, v1, v2, n_t = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
@@ -134,7 +150,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
         t_t = jnp.sum(e2 * q, axis=-1) / a
         t = jnp.where(in_t, t_t, t)
         normal = jnp.where(in_t[:, None], n_t, normal)
-        material = jnp.where(in_t, tr.material[ti], material)
+        material = jnp.where(in_t, jnp.round(rows[:, 12]).astype(jnp.int32), material)
 
     t_safe = jnp.where(hit, t, 0.0)
     point = ro + t_safe[:, None] * rd

@@ -142,16 +142,71 @@ def closest_hit(scene: Scene, ro, rd, tmin) -> HitRecords:
     return assemble_hit_records(scene, ro, rd, t, idx)
 
 
+# one-hot payload matmuls must fit next to the t-matrix in HBM
+_ONEHOT_MAX_ELEMS = 1 << 25
+
+
 def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
     """Build HitRecords from a per-ray winning (t, global primitive index)
-    where the index runs over the sphere→plane→triangle concatenation."""
+    where the index runs over the sphere→plane→triangle concatenation.
+
+    The winning primitive's payload (normal/center + material id) is gathered
+    with ONE masked one-hot matmul against a packed per-primitive table: TPU
+    dynamic row gathers are scalar-slow (measured ~10 ms of a 15 ms frame at
+    640x480), while the one-hot contraction rides the MXU, and its transpose
+    (the VJP) is another matmul instead of a serialized scatter-add.  Scenes
+    past ``_ONEHOT_MAX_ELEMS`` one-hot elements keep the indexed-gather form
+    (they render through the Pallas kernels anyway).
+    """
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     point = ro + t_safe[:, None] * rd
 
     S, P = scene.spheres.count, scene.planes.count
+    T = scene.triangles.count
+    C = S + P + T
     normal = jnp.zeros_like(point)
     material = jnp.zeros(ro.shape[0], jnp.int32)
+
+    if C and C * ro.shape[0] <= _ONEHOT_MAX_ELEMS:
+        rows = []
+        if S:  # sphere rows carry the CENTER (normal derived below)
+            rows.append(
+                jnp.concatenate(
+                    [scene.spheres.center, scene.spheres.material[:, None].astype(ro.dtype)],
+                    axis=1,
+                )
+            )
+        if P:
+            rows.append(
+                jnp.concatenate(
+                    [scene.planes.normal, scene.planes.material[:, None].astype(ro.dtype)],
+                    axis=1,
+                )
+            )
+        if T:
+            tr = scene.triangles
+            rows.append(
+                jnp.concatenate([tr.normal, tr.material[:, None].astype(ro.dtype)], axis=1)
+            )
+        table = jnp.concatenate(rows, axis=0)  # (C, 4)
+        oh = (idx[:, None] == jnp.arange(C)[None, :]) & hit[:, None]
+        out = jax.lax.stop_gradient(oh.astype(ro.dtype)) @ table  # (R, 4)
+        v = out[:, :3]  # center (spheres) or normal (planes/triangles)
+        # material ids are small ints: exact through the f32 contraction
+        material = jnp.round(out[:, 3]).astype(jnp.int32)
+        if S:
+            in_s = (idx < S) & hit
+            # normal normalized after selection (reference: source/Scene.cpp:40);
+            # double-where: keep the unselected normalize argument away from 0
+            d = jnp.where(in_s[:, None], point - v, 1.0)
+            normal = jnp.where(in_s[:, None], math3d.normalize_safe(d), v)
+        else:
+            normal = v
+        return HitRecords(
+            hit=hit, t=jnp.where(hit, t, INF), point=point, normal=normal, material=material
+        )
+
     if S:
         si = jnp.clip(idx, 0, S - 1)
         c = scene.spheres.center[si]
@@ -165,8 +220,8 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
         in_p = (idx >= S) & (idx < S + P)
         normal = jnp.where(in_p[:, None], scene.planes.normal[pi], normal)
         material = jnp.where(in_p, scene.planes.material[pi], material)
-    if scene.triangles.count:
-        ti = jnp.clip(idx - S - P, 0, scene.triangles.count - 1)
+    if T:
+        ti = jnp.clip(idx - S - P, 0, T - 1)
         in_t = idx >= S + P
         normal = jnp.where(in_t[:, None], scene.triangles.normal[ti], normal)
         material = jnp.where(in_t, scene.triangles.material[ti], material)

@@ -128,9 +128,12 @@ def _auto_chunk(num_rays: int, num_prims: int) -> int:
 
     Chunks are balanced (ceil-div) and 1024-aligned so the final chunk is
     nearly full: a power-of-two chunk on 640x480 (307,200 rays) padded to
-    2x262,144 — 71% wasted work.
+    2x262,144 — 71% wasted work.  Chunks are also capped at 75k rays even
+    when the t-matrix would fit: smaller per-chunk intermediates keep the
+    fused elementwise chain in VMEM (640x480 reference scene: one 307k-ray
+    chunk 8.96 ms vs 4x76,800 6.68 ms, PERF.md round 2).
     """
-    target = max(1024, (1 << 25) // max(num_prims, 1))
+    target = max(1024, min(75 * 1024, (1 << 25) // max(num_prims, 1)))
     if num_rays <= target:
         return max(num_rays, 1)
     n_chunks = -(-num_rays // target)
