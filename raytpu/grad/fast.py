@@ -34,8 +34,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from raytpu.core import math3d
-from raytpu.ops import intersect
+from raytpu.ops import intersect, soa
 from raytpu.ops.intersect import FLT_EPSILON, INF, HitRecords
 
 
@@ -64,11 +63,12 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
     gather via one-hot matmuls; larger tables fall back to indexed gathers.
     """
     sg = jax.lax.stop_gradient
-    tmat = intersect.scene_t_matrix(
-        sg(scene), sg(ro), sg(rd), tmin, INF, shadow_pass=False
+    ro_c, rd_c = soa.comps(ro), soa.comps(rd)
+    tmat = intersect._scene_t_matrix_T(
+        sg(scene), soa.comps(sg(ro)), soa.comps(sg(rd)), tmin, INF, shadow_pass=False
     )
-    idx = jnp.argmin(tmat, axis=1)  # first minimum wins ties
-    hit = jnp.isfinite(jnp.take_along_axis(tmat, idx[:, None], axis=1)[:, 0])
+    idx = jnp.argmin(tmat, axis=0)  # first minimum wins ties
+    hit = jnp.isfinite(jnp.take_along_axis(tmat, idx[None, :], axis=0)[0])
 
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
     R = rd.shape[0]
@@ -76,7 +76,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
     # t-matrix: past ~32M elements fall back to indexed gathers
     onehot_max = min(onehot_max, max(1, (1 << 25) // max(R, 1)))
     t = jnp.full((R,), INF, rd.dtype)
-    normal = jnp.zeros((R, 3), rd.dtype)
+    n_c = (jnp.zeros((R,), rd.dtype),) * 3
     material = jnp.zeros((R,), jnp.int32)
     c_sph = None
 
@@ -94,10 +94,10 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
             ),
             si, in_s, S <= onehot_max,
         )
-        c_sph, r = cr[:, :3], cr[:, 3]
-        L = c_sph - ro
-        proj = jnp.sum(rd * L, axis=-1)
-        perp2 = jnp.sum(L * L, axis=-1) - proj * proj
+        c_sph, r = soa.comps(cr[:, :3]), cr[:, 3]
+        L = soa.sub(c_sph, ro_c)
+        proj = soa.dot(rd_c, L)
+        perp2 = soa.dot(L, L) - proj * proj
         # double-where: the sqrt argument of non-winning lanes is clamped so
         # its unbounded partial never enters the VJP (CLAUDE.md grad safety)
         arg = jnp.where(in_s, r * r - perp2, 1.0)
@@ -120,12 +120,12 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
             ),
             pi, in_p, P <= onehot_max,
         )
-        n_p, o_p = no[:, :3], no[:, 3:6]
-        denom = jnp.sum(rd * n_p, axis=-1)
+        n_p, o_p = soa.comps(no[:, :3]), soa.comps(no[:, 3:6])
+        denom = soa.dot(rd_c, n_p)
         denom = jnp.where(in_p & (jnp.abs(denom) > FLT_EPSILON), denom, 1.0)
-        t_p = jnp.sum((o_p - ro) * n_p, axis=-1) / denom
+        t_p = soa.dot(soa.sub(o_p, ro_c), n_p) / denom
         t = jnp.where(in_p, t_p, t)
-        normal = jnp.where(in_p[:, None], n_p, normal)
+        n_c = soa.where(in_p, n_p, n_c)
         material = jnp.where(in_p, jnp.round(no[:, 6]).astype(jnp.int32), material)
 
     if T:
@@ -139,27 +139,30 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
             ),
             ti, in_t, T <= onehot_max,
         )
-        v0, v1, v2, n_t = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
-        e1 = v1 - v0
-        e2 = v2 - v0
-        h = jnp.cross(rd, e2)
-        a = jnp.sum(e1 * h, axis=-1)
+        v0, n_t = soa.comps(rows[:, 0:3]), soa.comps(rows[:, 9:12])
+        e1 = soa.sub(soa.comps(rows[:, 3:6]), v0)
+        e2 = soa.sub(soa.comps(rows[:, 6:9]), v0)
+        h = soa.cross(rd_c, e2)
+        a = soa.dot(e1, h)
         a = jnp.where(in_t & (jnp.abs(a) >= FLT_EPSILON), a, 1.0)
-        s = ro - v0
-        q = jnp.cross(s, e1)
-        t_t = jnp.sum(e2 * q, axis=-1) / a
+        s = soa.sub(ro_c, v0)
+        q = soa.cross(s, e1)
+        t_t = soa.dot(e2, q) / a
         t = jnp.where(in_t, t_t, t)
-        normal = jnp.where(in_t[:, None], n_t, normal)
+        n_c = soa.where(in_t, n_t, n_c)
         material = jnp.where(in_t, jnp.round(rows[:, 12]).astype(jnp.int32), material)
 
     t_safe = jnp.where(hit, t, 0.0)
-    point = ro + t_safe[:, None] * rd
+    p_c = soa.add(ro_c, soa.scale(rd_c, t_safe))
 
     if S:
-        # sphere normal normalized after selection (reference: source/Scene.cpp:40)
-        n_s = math3d.normalize_safe(point - c_sph)
-        normal = jnp.where(((idx < S) & hit)[:, None], n_s, normal)
+        # sphere normal normalized after selection (reference: source/Scene.cpp:40);
+        # double-where: keep the unselected normalize argument away from 0
+        in_s = (idx < S) & hit
+        d_c = soa.where(in_s, soa.sub(p_c, c_sph), (1.0, 1.0, 1.0))
+        n_c = soa.where(in_s, soa.normalize_safe(d_c), n_c)
 
     return HitRecords(
-        hit=hit, t=jnp.where(hit, t, INF), point=point, normal=normal, material=material
+        hit=hit, t=jnp.where(hit, t, INF), point=soa.pack(*p_c),
+        normal=soa.pack(*n_c), material=material,
     )

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from raytpu.core import math3d
 from raytpu.core.types import LightKind, Lights, Materials
+from raytpu.ops import soa
 
 PI = 3.14159265358979323846
 
@@ -106,6 +107,10 @@ def shade(materials: Materials, mat_idx, n, l, v):
       mat_idx: (R,) i32 per-ray material index.
       n, l, v: (R,3) unit normal, light and view directions.
     Returns (R,3) BRDF color.
+
+    Internals run components-major (raytpu/ops/soa.py) — the same formulas
+    as the reference-pinned array BRDFs above, on (R,)-shaped per-component
+    arrays so the lane axis is the ray axis, not the 3-wide color axis.
     """
     # Per-ray material parameters via one-hot matmul instead of gathers:
     # TPU dynamic gathers are scalar-slow, a (R, M) @ (M, 7) matmul rides
@@ -118,28 +123,63 @@ def shade(materials: Materials, mat_idx, n, l, v):
     onehot = (mat_idx[:, None] == jnp.arange(M, dtype=mat_idx.dtype)[None, :]).astype(jnp.float32)
     vals = onehot @ table  # (R, 7)
     kind = vals[:, 0]  # compared against float literals below
-    color = vals[:, 1:4]
-    params = vals[:, 4:7]
+    cr, cg, cb = vals[:, 1], vals[:, 2], vals[:, 3]
+    p0, p1, p2 = vals[:, 4], vals[:, 5], vals[:, 6]
+    n_c, l_c, v_c = soa.comps(n), soa.comps(l), soa.comps(v)
 
     # Sanitize each family's parameters on the rows where it is NOT selected:
     # jnp.where protects forward values but not backward partials — e.g.
     # Cook-Torrance at roughness=0 (a Lambert row) has an infinite dD/ddenom
     # at ndh=1, and 0-cotangent * inf = NaN would leak into every gradient.
     is_ct = kind == 3
-    rough_safe = jnp.where(is_ct, params[:, 1], 1.0)
-    metal_safe = jnp.where(is_ct, params[:, 0], 1.0)
+    rough_safe = jnp.where(is_ct, p1, 1.0)
+    metal_safe = jnp.where(is_ct, p0, 1.0)
     is_lp = kind == 2
-    exp_safe = jnp.where(is_lp, params[:, 2], 1.0)
+    exp_safe = jnp.where(is_lp, p2, 1.0)
 
-    c_solid = color
-    c_lambert = lambert(params[:, 0], color)
-    c_lp = c_lambert + phong(params[:, 1], exp_safe, l, v, n)
-    c_ct = cook_torrance(color, metal_safe, rough_safe, n, l, v)
+    # Lambert: cd * kd / pi (reference: source/BRDFs.h:14-22)
+    lam = p0 / PI
+    c_lambert = (cr * lam, cg * lam, cb * lam)
 
-    out = jnp.where((kind == 0)[:, None], c_solid, c_ct)
-    out = jnp.where((kind == 1)[:, None], c_lambert, out)
-    out = jnp.where((kind == 2)[:, None], c_lp, out)
-    return out
+    # Phong: white lobe with the clamped reflect (reference: source/BRDFs.h:33-40)
+    refl = soa.sub(l_c, soa.scale(n_c, 2.0 * jnp.maximum(soa.dot(n_c, l_c), 0.0)))
+    cosa = jnp.maximum(soa.dot(refl, v_c), 0.0)
+    pos = cosa > 0.0
+    powv = jnp.where(
+        pos,
+        jnp.power(jnp.where(pos, cosa, 1.0), exp_safe),
+        jnp.where(exp_safe == 0.0, 1.0, 0.0),
+    )
+    w_ph = p1 * powv
+    c_lp = (c_lambert[0] + w_ph, c_lambert[1] + w_ph, c_lambert[2] + w_ph)
+
+    # Cook-Torrance (reference: source/Material.h:107-123, BRDFs.h:49-99)
+    h = soa.normalize_safe(soa.add(v_c, l_c))
+    is_diel = metal_safe == 0.0
+    f0 = soa.where(is_diel, (jnp.full_like(cr, 0.04),) * 3, (cr, cg, cb))
+    p5 = jnp.power(1.0 - jnp.maximum(soa.dot(h, v_c), 0.0), 5)
+    F = (f0[0] + (1.0 - f0[0]) * p5, f0[1] + (1.0 - f0[1]) * p5, f0[2] + (1.0 - f0[2]) * p5)
+    a = rough_safe * rough_safe
+    sqr_a = a * a
+    ndh = jnp.maximum(soa.dot(n_c, h), 0.0)
+    denom_d = ndh * ndh * (sqr_a - 1.0) + 1.0
+    D = sqr_a / (PI * denom_d * denom_d)
+    k = (a + 1.0) * (a + 1.0) / 8.0
+    cd_v = jnp.maximum(soa.dot(n_c, v_c), 0.0)
+    cd_l = jnp.maximum(soa.dot(n_c, l_c), 0.0)
+    G = (cd_v / (cd_v * (1.0 - k) + k)) * (cd_l / (cd_l * (1.0 - k) + k))
+    denom = 4.0 * jnp.maximum(soa.dot(v_c, n_c), 1e-4) * jnp.maximum(soa.dot(l_c, n_c), 1e-4)
+    spec_s = D * G / denom
+    lam_inv = 1.0 / PI
+    c_ct = tuple(
+        jnp.where(is_diel, 1.0 - F[i], 0.0) * (cr, cg, cb)[i] * lam_inv + F[i] * spec_s
+        for i in range(3)
+    )
+
+    out = soa.where(kind == 0, (cr, cg, cb), c_ct)
+    out = soa.where(kind == 1, c_lambert, out)
+    out = soa.where(kind == 2, c_lp, out)
+    return soa.pack(*out)
 
 
 def direction_to_light(lights: Lights, li: int, point):
@@ -153,21 +193,27 @@ def direction_to_light(lights: Lights, li: int, point):
     bug, reference: source/Utils.h:348).
     """
     is_point = lights.kind[li] == LightKind.POINT
-    d = lights.position[li] - point
-    mag_pt = jnp.sqrt(_dot(d, d))
-    l_pt = d / mag_pt[:, None]
-    l_dir = jnp.broadcast_to(-lights.direction[li], point.shape)
+    p_c = soa.comps(point)
+    d = (lights.position[li, 0] - p_c[0], lights.position[li, 1] - p_c[1], lights.position[li, 2] - p_c[2])
+    mag_pt = jnp.sqrt(soa.dot(d, d))
+    l_pt = (d[0] / mag_pt, d[1] / mag_pt, d[2] / mag_pt)
+    l_dir = tuple(-lights.direction[li, i] for i in range(3))
     flt_max = jnp.finfo(point.dtype).max
-    l = jnp.where(is_point, l_pt, l_dir)
+    l = soa.where(is_point, l_pt, tuple(jnp.broadcast_to(c, mag_pt.shape) for c in l_dir))
     mag = jnp.where(is_point, mag_pt, flt_max)
-    return l, mag
+    return soa.pack(*l), mag
 
 
 def radiance(lights: Lights, li: int, target):
     """Point: ``color * intensity / dist^2``; directional: ``color * intensity``
     (reference: source/Utils.h:355-369)."""
     is_point = lights.kind[li] == LightKind.POINT
-    d = lights.position[li] - target
-    r_pt = lights.color[li] * (lights.intensity[li] / _dot(d, d))[:, None]
-    r_dir = jnp.broadcast_to(lights.color[li] * lights.intensity[li], target.shape)
-    return jnp.where(is_point, r_pt, r_dir)
+    t_c = soa.comps(target)
+    d = (lights.position[li, 0] - t_c[0], lights.position[li, 1] - t_c[1], lights.position[li, 2] - t_c[2])
+    s_pt = lights.intensity[li] / soa.dot(d, d)  # (R,)
+    r_pt = tuple(lights.color[li, i] * s_pt for i in range(3))
+    r_dir = tuple(
+        jnp.broadcast_to(lights.color[li, i] * lights.intensity[li], s_pt.shape)
+        for i in range(3)
+    )
+    return soa.pack(*soa.where(is_point, r_pt, r_dir))

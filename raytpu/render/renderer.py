@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from raytpu.core import math3d
 from raytpu.core.types import LightingMode, RenderConfig, Scene
-from raytpu.ops import intersect, shading
+from raytpu.ops import intersect, shading, soa
 
 
 def generate_rays(camera, config: RenderConfig):
@@ -64,10 +64,14 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
     rec = closest_fn(scene, ro, rd, config.ray_min)
 
     # offset shading point along the normal to avoid self-shadowing
-    # (reference: source/Renderer.cpp:126)
-    p_off = rec.point + rec.normal * jnp.float32(config.normal_offset)
+    # (reference: source/Renderer.cpp:126); components-major internals
+    # (raytpu/ops/soa.py) keep the lane axis on rays
+    n_c = soa.comps(rec.normal)
+    p_off = soa.pack(
+        *soa.add(soa.comps(rec.point), soa.scale(n_c, jnp.float32(config.normal_offset)))
+    )
 
-    color = jnp.zeros((n, 3), jnp.float32)
+    color = (jnp.zeros((n,), jnp.float32),) * 3
     shadow_factor = jnp.ones((n,), jnp.float32)
     mode = config.lighting_mode
 
@@ -104,23 +108,28 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
             factor = jnp.where(trans == 0.0, jnp.float32(config.shadow_dim), 1.0)
         shadow_factor = shadow_factor * factor
 
+        l_c = soa.comps(l)
         if mode == LightingMode.COMBINED:
-            oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
-            rad = shading.radiance(scene.lights, li, rec.point)
-            brdf = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
-            contrib = oa[:, None] * rad * brdf
+            oa = jnp.maximum(soa.dot(n_c, l_c), 0.0)
+            rad = soa.comps(shading.radiance(scene.lights, li, rec.point))
+            brdf = soa.comps(shading.shade(scene.materials, rec.material, rec.normal, l, -rd))
+            contrib = tuple(oa * rad[i] * brdf[i] for i in range(3))
         elif mode == LightingMode.OBSERVED_AREA:
-            oa = jnp.maximum(math3d.dot(rec.normal, l), 0.0)
-            contrib = jnp.broadcast_to(oa[:, None], (n, 3))
+            oa = jnp.maximum(soa.dot(n_c, l_c), 0.0)
+            contrib = (oa, oa, oa)
         elif mode == LightingMode.RADIANCE:
-            contrib = shading.radiance(scene.lights, li, rec.point)
+            contrib = soa.comps(shading.radiance(scene.lights, li, rec.point))
         else:  # BRDF
-            contrib = shading.shade(scene.materials, rec.material, rec.normal, l, -rd)
-        color = color + contrib * trans[:, None]
+            contrib = soa.comps(shading.shade(scene.materials, rec.material, rec.normal, l, -rd))
+        color = tuple(color[i] + contrib[i] * trans for i in range(3))
 
-    color = color * shadow_factor[:, None]
-    color = jnp.where(rec.hit[:, None], color, 0.0)
-    return math3d.max_to_one(color)
+    color = tuple(jnp.where(rec.hit, color[i] * shadow_factor, 0.0) for i in range(3))
+    # max_to_one tone map (reference: source/ColorRGB.h:12-17), double-where'd
+    m = jnp.maximum(jnp.maximum(color[0], color[1]), color[2])
+    over = m > 1.0
+    m_safe = jnp.where(over, m, 1.0)
+    color = tuple(jnp.where(over, color[i] / m_safe, color[i]) for i in range(3))
+    return soa.pack(*color)
 
 
 def _auto_chunk(num_rays: int, num_prims: int) -> int:
