@@ -1,5 +1,6 @@
 """Probe: (R,3)/(R,N) layout vs component-SoA (R,) layout for the jnp hot ops."""
-import time
+import pathlib, sys, time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax, jax.numpy as jnp
 from raytpu.core import scenes
 from raytpu.core.types import RenderConfig

@@ -1,5 +1,6 @@
 """Probe: components-major (SoA) jnp path vs PERF round-2 numbers."""
-import time, dataclasses
+import dataclasses, pathlib, sys, time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax, jax.numpy as jnp
 from raytpu.core import scenes
 from raytpu.core.types import RenderConfig

@@ -38,20 +38,21 @@ from raytpu.ops import intersect, soa
 from raytpu.ops.intersect import FLT_EPSILON, INF, HitRecords
 
 
-def _gather_rows(table, li, mask, use_onehot):
-    """Differentiable ``table[li]`` with rows zeroed where ``~mask``.
+def _gather_cols(table, li, mask, use_onehot):
+    """Differentiable ``table[li].T`` — a (K, R) components-major gather with
+    columns zeroed where ``~mask``.
 
     ``use_onehot``: dispatch via a detached one-hot matmul (MXU-friendly
     VJP — the gradient to ``table`` is a matmul, not a TPU scatter-add).
+    The (K, N) @ (N, R) orientation keeps every operand's minor dim wide
+    (a materialized (R, K) array pads K up to 128 lanes — 10-40x bandwidth).
     """
     if not use_onehot:
-        return jnp.where(mask.reshape((-1,) + (1,) * (table.ndim - 1)), table[li], 0.0)
-    flat = table.reshape(table.shape[0], -1)
-    oh = ((li[:, None] == jnp.arange(table.shape[0])[None, :]) & mask[:, None]).astype(
-        flat.dtype
+        return jnp.where(mask[None, :], table[li].T, 0.0)
+    oh = ((jnp.arange(table.shape[0])[:, None] == li[None, :]) & mask[None, :]).astype(
+        table.dtype
     )
-    out = jax.lax.stop_gradient(oh) @ flat
-    return out.reshape((li.shape[0],) + table.shape[1:])
+    return table.T @ jax.lax.stop_gradient(oh)
 
 
 def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitRecords:
@@ -68,7 +69,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
         sg(scene), soa.comps(sg(ro)), soa.comps(sg(rd)), tmin, INF, shadow_pass=False
     )
     idx = jnp.argmin(tmat, axis=0)  # first minimum wins ties
-    hit = jnp.isfinite(jnp.take_along_axis(tmat, idx[None, :], axis=0)[0])
+    hit = jnp.isfinite(jnp.min(tmat, axis=0))  # the winning t IS the min
 
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
     R = rd.shape[0]
@@ -83,7 +84,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
     if S:
         in_s = (idx < S) & hit
         si = jnp.clip(idx, 0, S - 1)
-        cr = _gather_rows(
+        cr = _gather_cols(
             jnp.concatenate(
                 [
                     scene.spheres.center,
@@ -94,7 +95,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
             ),
             si, in_s, S <= onehot_max,
         )
-        c_sph, r = soa.comps(cr[:, :3]), cr[:, 3]
+        c_sph, r = (cr[0], cr[1], cr[2]), cr[3]
         L = soa.sub(c_sph, ro_c)
         proj = soa.dot(rd_c, L)
         perp2 = soa.dot(L, L) - proj * proj
@@ -104,12 +105,12 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
         t_s = proj - jnp.sqrt(jnp.maximum(arg, 1e-20))
         t = jnp.where(in_s, t_s, t)
         # material ids are small ints: exact through the f32 gather
-        material = jnp.where(in_s, jnp.round(cr[:, 4]).astype(jnp.int32), material)
+        material = jnp.where(in_s, jnp.round(cr[4]).astype(jnp.int32), material)
 
     if P:
         in_p = (idx >= S) & (idx < S + P) & hit
         pi = jnp.clip(idx - S, 0, P - 1)
-        no = _gather_rows(
+        no = _gather_cols(
             jnp.concatenate(
                 [
                     scene.planes.normal,
@@ -120,28 +121,28 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
             ),
             pi, in_p, P <= onehot_max,
         )
-        n_p, o_p = soa.comps(no[:, :3]), soa.comps(no[:, 3:6])
+        n_p, o_p = (no[0], no[1], no[2]), (no[3], no[4], no[5])
         denom = soa.dot(rd_c, n_p)
         denom = jnp.where(in_p & (jnp.abs(denom) > FLT_EPSILON), denom, 1.0)
         t_p = soa.dot(soa.sub(o_p, ro_c), n_p) / denom
         t = jnp.where(in_p, t_p, t)
         n_c = soa.where(in_p, n_p, n_c)
-        material = jnp.where(in_p, jnp.round(no[:, 6]).astype(jnp.int32), material)
+        material = jnp.where(in_p, jnp.round(no[6]).astype(jnp.int32), material)
 
     if T:
         in_t = (idx >= S + P) & hit
         ti = jnp.clip(idx - S - P, 0, T - 1)
         tr = scene.triangles
-        rows = _gather_rows(
+        rows = _gather_cols(
             jnp.concatenate(
                 [tr.v0, tr.v1, tr.v2, tr.normal, tr.material[:, None].astype(rd.dtype)],
                 axis=1,
             ),
             ti, in_t, T <= onehot_max,
         )
-        v0, n_t = soa.comps(rows[:, 0:3]), soa.comps(rows[:, 9:12])
-        e1 = soa.sub(soa.comps(rows[:, 3:6]), v0)
-        e2 = soa.sub(soa.comps(rows[:, 6:9]), v0)
+        v0, n_t = (rows[0], rows[1], rows[2]), (rows[9], rows[10], rows[11])
+        e1 = soa.sub((rows[3], rows[4], rows[5]), v0)
+        e2 = soa.sub((rows[6], rows[7], rows[8]), v0)
         h = soa.cross(rd_c, e2)
         a = soa.dot(e1, h)
         a = jnp.where(in_t & (jnp.abs(a) >= FLT_EPSILON), a, 1.0)
@@ -150,7 +151,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitReco
         t_t = soa.dot(e2, q) / a
         t = jnp.where(in_t, t_t, t)
         n_c = soa.where(in_t, n_t, n_c)
-        material = jnp.where(in_t, jnp.round(rows[:, 12]).astype(jnp.int32), material)
+        material = jnp.where(in_t, jnp.round(rows[12]).astype(jnp.int32), material)
 
     t_safe = jnp.where(hit, t, 0.0)
     p_c = soa.add(ro_c, soa.scale(rd_c, t_safe))

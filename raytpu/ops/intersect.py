@@ -201,7 +201,8 @@ def closest_hit(scene: Scene, ro, rd, tmin) -> HitRecords:
     ro_c, rd_c = soa.comps(ro), soa.comps(rd)
     tmat = _scene_t_matrix_T(scene, ro_c, rd_c, tmin, INF, shadow_pass=False)
     idx = jnp.argmin(tmat, axis=0)  # first minimum wins ties
-    t = jnp.take_along_axis(tmat, idx[None, :], axis=0)[0]
+    # the winning t IS the min — never gather it (TPU gathers are scalar-slow)
+    t = jnp.min(tmat, axis=0)
     return assemble_hit_records(scene, ro, rd, t, idx)
 
 
@@ -217,9 +218,13 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
     with ONE masked one-hot matmul against a packed per-primitive table: TPU
     dynamic row gathers are scalar-slow (measured ~10 ms of a 15 ms frame at
     640x480), while the one-hot contraction rides the MXU, and its transpose
-    (the VJP) is another matmul instead of a serialized scatter-add.  Scenes
-    past ``_ONEHOT_MAX_ELEMS`` one-hot elements keep the indexed-gather form
-    (they render through the Pallas kernels anyway).
+    (the VJP) is another matmul instead of a serialized scatter-add.  The
+    matmul is laid out components-major — ``(4, C) @ (C, R)`` — so neither
+    operand nor result has a narrow minor dim (TPU pads the minor dim to 128
+    lanes: a materialized (R, 4) costs 32x its data; this orientation took
+    the assemble stage from ~3.3 ms to ~0.1 ms at 640x480, PERF.md round 2).
+    Scenes past ``_ONEHOT_MAX_ELEMS`` one-hot elements keep the
+    indexed-gather form (they render through the Pallas kernels anyway).
     """
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
@@ -253,11 +258,11 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
                 jnp.concatenate([tr.normal, tr.material[:, None].astype(t.dtype)], axis=1)
             )
         table = jnp.concatenate(rows, axis=0)  # (C, 4)
-        oh = (idx[:, None] == jnp.arange(C)[None, :]) & hit[:, None]
-        out = jax.lax.stop_gradient(oh.astype(t.dtype)) @ table  # (R, 4)
-        v_c = soa.comps(out[:, :3])  # center (spheres) or normal (planes/tris)
+        oh = (jnp.arange(C)[:, None] == idx[None, :]) & hit[None, :]
+        out = table.T @ jax.lax.stop_gradient(oh.astype(t.dtype))  # (4, R)
+        v_c = (out[0], out[1], out[2])  # center (spheres) or normal (planes/tris)
         # material ids are small ints: exact through the f32 contraction
-        material = jnp.round(out[:, 3]).astype(jnp.int32)
+        material = jnp.round(out[3]).astype(jnp.int32)
         if S:
             in_s = (idx < S) & hit
             # normal normalized after selection (reference: source/Scene.cpp:40);
