@@ -24,29 +24,69 @@ import jax.numpy as jnp
 
 from raytpu.core.types import RenderConfig, Scene
 from raytpu.grad.fast import detached_closest_hit
+from raytpu.grad.soft import soft_trans_lights
 from raytpu.render import renderer
 from raytpu.render.renderer import render_image_f32
 
 
-@functools.partial(jax.jit, static_argnames=("config", "detached"))
-def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True):
+#: triangle count past which the differentiable path rides the Pallas kernels
+KERNEL_MIN_TRIS = 256
+
+
+def _pallas_min_t(scene, ro, rd, tmin):
+    """Chunk-culled Pallas winner search for the detached closest hit."""
+    from raytpu.render import pallas_kernel as pk
+
+    rays = pk.pack_rays(ro, rd, jnp.inf)
+    t, idx, _, _, _, _ = pk.scene_min_t(scene, rays, float(tmin), shadow_pass=False)
+    R = rd.shape[0]
+    return t[:R], idx[:R]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "detached", "kernels"))
+def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
+                    kernels: bool | None = None):
     """f32 soft-shadow render on the FAST differentiable path.
 
-    Two measured wins over naive ``grad(render)`` (PERF.md round 2):
+    Three measured wins over naive ``grad(render)`` (PERF.md round 2):
       * the shade is rematerialized (``jax.checkpoint``): the backward pass
         recomputes the fused forward instead of streaming O(R*N) residuals
         from HBM (the backward was ~10x the forward, HBM-bound);
       * ``detached`` (default): closest hits route through
         ``raytpu.grad.fast.detached_closest_hit`` — O(R) differentiated hit
         re-derivation with one-hot matmul gathers, so the autodiff graph
-        never transposes the O(R*N) t-matrix.
+        never transposes the O(R*N) t-matrix;
+      * ``kernels`` (default: auto — on TPU with >= 256 triangles): the soft
+        transmittance and the detached winner search run as chunk-culled
+        Pallas kernels with a custom VJP (raytpu.grad.soft); gradients stay
+        the jnp path's gradients.
     """
     cfg = dataclasses.replace(config, soft_shadows=True)
+    if kernels is None:
+        from raytpu.render import pallas_kernel as _pk
+        from raytpu.render import pallas_soft as _ps
+
+        kernels = (
+            jax.default_backend() not in ("cpu",)
+            and KERNEL_MIN_TRIS <= scene.triangles.count <= _ps.MAX_TRIS
+            and scene.spheres.count <= _pk.MEGA2_MAX_UNROLL
+            and scene.planes.count <= _pk.MEGA2_MAX_UNROLL
+            and scene.lights.count <= _pk.MEGA2_MAX_LIGHTS
+        )
+    soft_multi_fn = None
+    closest_fn = detached_closest_hit if detached else None
+    if kernels:
+        soft_multi_fn = functools.partial(
+            soft_trans_lights, True, float(cfg.ray_min), float(cfg.soft_beta)
+        )
+        if detached:
+            closest_fn = functools.partial(detached_closest_hit, min_t_fn=_pallas_min_t)
     ro, rd = renderer.generate_rays(scene.camera, cfg)
     colors = renderer.render_pixels_f32(
         scene, ro, rd, cfg,
-        closest_fn=detached_closest_hit if detached else None,
+        closest_fn=closest_fn,
         remat=True,
+        soft_multi_fn=soft_multi_fn,
     )
     return colors.reshape(cfg.height, cfg.width, 3)
 

@@ -55,21 +55,31 @@ def _gather_cols(table, li, mask, use_onehot):
     return table.T @ jax.lax.stop_gradient(oh)
 
 
-def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096) -> HitRecords:
+def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096,
+                         min_t_fn=None) -> HitRecords:
     """Drop-in for ``intersect.closest_hit`` with a detached argmin.
 
     Differentiable w.r.t. scene geometry through the winning primitive's
     re-derived t/normal; the winner selection itself carries no gradient
     (exact a.e. — see module docstring).  Classes with ``count <= onehot_max``
     gather via one-hot matmuls; larger tables fall back to indexed gathers.
+
+    ``min_t_fn(scene, ro, rd, tmin) -> (t, global idx)`` overrides the dense
+    jnp t-matrix for the (detached, forward-only) winner search — e.g. the
+    chunk-culled Pallas ``scene_min_t`` on big meshes; because the search is
+    under ``stop_gradient``, the override needs no VJP.
     """
     sg = jax.lax.stop_gradient
     ro_c, rd_c = soa.comps(ro), soa.comps(rd)
-    tmat = intersect._scene_t_matrix_T(
-        sg(scene), soa.comps(sg(ro)), soa.comps(sg(rd)), tmin, INF, shadow_pass=False
-    )
-    idx = jnp.argmin(tmat, axis=0)  # first minimum wins ties
-    hit = jnp.isfinite(jnp.min(tmat, axis=0))  # the winning t IS the min
+    if min_t_fn is not None:
+        t_det, idx = min_t_fn(sg(scene), sg(ro), sg(rd), tmin)
+        hit = jnp.isfinite(t_det)
+    else:
+        tmat = intersect._scene_t_matrix_T(
+            sg(scene), soa.comps(sg(ro)), soa.comps(sg(rd)), tmin, INF, shadow_pass=False
+        )
+        idx = jnp.argmin(tmat, axis=0)  # first minimum wins ties
+        hit = jnp.isfinite(jnp.min(tmat, axis=0))  # the winning t IS the min
 
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
     R = rd.shape[0]

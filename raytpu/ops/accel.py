@@ -134,6 +134,27 @@ def chunk_bounds(tris: Triangles, chunk: int = CHUNK):
     return lo, hi
 
 
+def chunk_soft_slack(tris: Triangles, beta: float, chunk: int = CHUNK,
+                     support: float = 20.0):
+    """(nc,) world-space AABB expansion covering the soft sigmoid's support.
+
+    A ray passing distance ``d`` outside a triangle of extent ``E`` has
+    barycentric margin ~ ``-d/E`` and contributes ``sigmoid(-beta*d/E)`` to
+    the soft transmittance (raytpu/ops/intersect.py:345).  Clipping where
+    ``beta*margin < -support`` (~2e-9 occlusion) needs chunk AABBs expanded
+    by ``support/beta * max_tri_extent``; extent is the per-triangle AABB
+    diagonal, maxed per chunk.
+    """
+    T = tris.count
+    nc = -(-T // chunk)
+    pad = nc * chunk - T
+    lo = jnp.minimum(jnp.minimum(tris.v0, tris.v1), tris.v2)
+    hi = jnp.maximum(jnp.maximum(tris.v0, tris.v1), tris.v2)
+    diag = jnp.sqrt(jnp.sum((hi - lo) ** 2, axis=1))  # (T,)
+    diag = jnp.pad(diag, (0, pad), constant_values=0.0).reshape(nc, chunk)
+    return (support / beta) * diag.max(axis=1)
+
+
 def cull_matrix(rb, chunk_lo, chunk_hi, tmin):
     """(nr, nc) f32 matrix: 1.0 where ray tile i may hit chunk j, else 0.0.
 

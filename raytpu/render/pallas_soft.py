@@ -1,0 +1,650 @@
+"""Fused Pallas TPU kernels for differentiable soft-shadow transmittance.
+
+The differentiable path's dominant cost is ``intersect.soft_transmittance``
+— an O(rays x primitives x lights) sigmoid-occlusion product (SURVEY.md
+§7.4's soft visibility).  This module runs the same math as the jnp op
+(formula-for-formula, see raytpu/ops/intersect.py:297) as a launch chain of
+megakernel-v2-style kernels (raytpu/render/pallas_kernel.py "Megakernel
+v2"): per-ray math on whole (8, 128) registers, triangles folded from SMEM
+scalars through a per-(tile, light) worklist of AABB-culled groups, chained
+across launches for meshes past the SMEM budget.  The (ray x prim)-matrix
+chunked layout was measured 5x SLOWER than the dense jnp path on the
+297-triangle bunny — the mega2 scalar-broadcast layout is the one that wins
+(PERF.md round 2).
+
+Soft-aware culling: a triangle outside the ray segment still contributes
+``sigmoid(beta * margin)`` with a slightly negative barycentric margin, so
+group AABBs are expanded by a per-group slack covering the sigmoid's support
+(``accel.chunk_soft_slack``).  Contributions clipped by the slackened cull
+are below ``sigmoid(-SOFT_SUPPORT)`` ~ 2e-9 per primitive — invisible next
+to f32 round-off of the product.
+
+The custom-VJP pairing that makes this differentiable lives in
+``raytpu.grad.soft``; these kernels are forward-only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.core.types import Scene
+from raytpu.render import pallas_kernel as pk
+from raytpu.render.pallas_kernel import FLT_EPSILON, MEGA2_G, _cdiv, _pad_axis
+
+OCC_MAX = 1.0 - 1e-6  # must match intersect._OCC_MAX
+SOFT_SUPPORT = 20.0  # sigmoid tail cut: clip where beta*margin < -SOFT_SUPPORT
+MAX_TRIS = pk.MEGA2_MAX_SMEM_TRIS * pk.MEGA2_MAX_LAUNCHES  # chain ceiling
+
+
+def _occ(margin, gate, beta):
+    # 1/(1+exp(-x)) == jax.nn.sigmoid for every gated lane (gated margins are
+    # finite; an overflowing exp on ungated lanes yields 0, not NaN)
+    occ = jnp.minimum(1.0 / (1.0 + jnp.exp(-beta * margin)), OCC_MAX)
+    return jnp.where(gate, occ, 0.0)
+
+
+def _sphere_soft_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
+    """(8,128) soft occlusion of SMEM sphere ``s`` — same math as the jnp
+    sphere block (raytpu/ops/intersect.py:311-325)."""
+    cx, cy, cz, r2 = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3]
+    lx = cx - ox
+    ly = cy - oy
+    lz = cz - oz
+    proj = dx * lx + dy * ly + dz * lz
+    perp2 = lx * lx + ly * ly + lz * lz - proj * proj
+    margin = (r2 - perp2) / r2
+    inside = margin > 0.0
+    t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
+    gate = inside & (t >= tmin) & (t <= tmax)
+    return _occ(margin, gate, beta)
+
+
+def _plane_soft_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
+    """(8,128) soft occlusion of SMEM plane ``p``; the margin is the distance
+    (in t units) by which the crossing sits inside [tmin, tmax)
+    (raytpu/ops/intersect.py:327-343)."""
+    nx, ny, nz, d = pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 3]
+    denom = dx * nx + dy * ny + dz * nz
+    num = d - (ox * nx + oy * ny + oz * nz)
+    denom_nz = jnp.abs(denom) > FLT_EPSILON
+    t = num / jnp.where(denom_nz, denom, 1.0)
+    margin = jnp.minimum(t - tmin, tmax - t)
+    gate = denom_nz & (margin > 0.0)
+    return _occ(margin, gate, beta)
+
+
+def _tri_soft_reg(tri_ref, k, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
+    """(8,128) soft occlusion of SMEM triangle ``k``: signed barycentric
+    distance to the boundary, shadow-pass culling
+    (raytpu/ops/intersect.py:345-376)."""
+    v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
+    e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
+    e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
+    nx, ny, nz = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
+    cull = tri_ref[k, 12]
+    cull_dot = nx * dx + ny * dy + nz * dz
+    not_par = jnp.abs(cull_dot) >= FLT_EPSILON
+    cull_eff = jnp.where(cull == 2.0, 2.0, 1.0 - cull)  # shadow pass inverts
+    culled = ((cull_eff == 0.0) & (cull_dot < 0.0)) | ((cull_eff == 1.0) & (cull_dot > 0.0))
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    det_ok = jnp.abs(a) >= FLT_EPSILON
+    inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = inv_a * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv_a * (dx * qx + dy * qy + dz * qz)
+    t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
+    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    gate = not_par & ~culled & det_ok & (t >= tmin) & (t < tmax)
+    return _occ(margin, gate, beta)
+
+
+def _make_soft_mega_kernel(tmin, beta, S, P, Tl, ngl, L, first, culled):
+    """One launch of the soft-transmittance chain: fold this SMEM triangle
+    subset's (1 - occ) product per light; the first launch also folds the
+    unrolled spheres/planes and initializes the accumulators."""
+
+    def kernel(*refs):
+        sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref = refs[:5]
+        pos = 5
+        px, py, pz = (r[:] for r in refs[pos : pos + 3])
+        pos += 3
+        light_cols = []
+        for _ in range(L):
+            lx, ly, lz, mag = (r[:] for r in refs[pos : pos + 4])
+            pos += 4
+            light_cols.append((lx, ly, lz, mag))
+        tr_in = None
+        if not first:
+            tr_in = refs[pos : pos + L]
+            pos += L
+        out_refs = refs[pos:]
+
+        cnts = [cnt_ref[0, 0, li] for li in range(L)] if Tl else []
+        for li in range(L):
+            lx, ly, lz, mag = light_cols[li]
+            tr = jnp.ones((8, 128), jnp.float32) if first else tr_in[li][:]
+            if first:
+                for s in range(S):
+                    tr = tr * (1.0 - _sphere_soft_reg(
+                        sph_ref, s, px, py, pz, lx, ly, lz, tmin, mag, beta))
+                for p in range(P):
+                    tr = tr * (1.0 - _plane_soft_reg(
+                        pl_ref, p, px, py, pz, lx, ly, lz, tmin, mag, beta))
+            if Tl:
+                def fold_group(base, tr, lx=lx, ly=ly, lz=lz, mag=mag):
+                    for kk in range(MEGA2_G):
+                        tr = tr * (1.0 - _tri_soft_reg(
+                            tri_ref, base + kk, px, py, pz, lx, ly, lz, tmin, mag, beta))
+                    return tr
+
+                if culled:
+                    def body(j, tr, li=li, fold_group=fold_group):
+                        g = wl_ref[0, li, j]
+                        return fold_group(g * MEGA2_G, tr)
+
+                    tr = jax.lax.fori_loop(0, cnts[li], body, tr)
+                else:
+                    for g in range(ngl):
+                        tr = fold_group(g * MEGA2_G, tr)
+            out_refs[li][:] = tr
+
+    return kernel
+
+
+def _soft_packs(scene: Scene):
+    """Geometry-only SMEM blobs: spheres (S,4), planes (P,4), tris (T,13)."""
+    sph = scene.spheres
+    sph_blob = (
+        jnp.stack([sph.center[:, 0], sph.center[:, 1], sph.center[:, 2],
+                   sph.radius * sph.radius], axis=1)
+        if sph.count else jnp.zeros((0, 4), jnp.float32)
+    )
+    pln = scene.planes
+    pl_blob = (
+        jnp.stack([pln.normal[:, 0], pln.normal[:, 1], pln.normal[:, 2],
+                   jnp.sum(pln.origin * pln.normal, axis=1)], axis=1)
+        if pln.count else jnp.zeros((0, 4), jnp.float32)
+    )
+    tr = scene.triangles
+    if tr.count:
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+        tri_blob = jnp.stack(
+            [tr.v0[:, 0], tr.v0[:, 1], tr.v0[:, 2],
+             e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2],
+             tr.normal[:, 0], tr.normal[:, 1], tr.normal[:, 2],
+             tr.cull.astype(jnp.float32), jnp.zeros_like(tr.cull, jnp.float32)],
+            axis=1)
+    else:
+        tri_blob = jnp.zeros((0, 13), jnp.float32)
+    return sph_blob, pl_blob, tri_blob
+
+
+def _vtiles(x, rows_pad):
+    """(R,) -> (rows_pad, 128) vtile array (zero-padded; pure reshape)."""
+    xp = jnp.pad(x, (0, rows_pad * 128 - x.shape[0]))
+    return xp.reshape(rows_pad, 128)
+
+
+def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
+    """Soft transmittance for all L lights as a mega2-style launch chain.
+
+    ro (R,3) shared shadow origins; dirs (L,R,3); mags (L,R).
+    Returns (L, R) f32 transmittance in [0,1].  Matches
+    ``intersect.soft_transmittance`` per light up to the culled sigmoid tail
+    (< ~2e-9 per clipped primitive) and fp reassociation of the packed
+    plane offset.  Scenes past ``MAX_TRIS`` triangles must use the jnp op.
+    """
+    from raytpu.ops import accel
+
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    tmin = float(tmin)
+    beta = float(beta)
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    assert T <= MAX_TRIS, f"soft_trans_lights_pallas supports <= {MAX_TRIS} tris"
+    assert S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL, \
+        "sphere/plane unroll budget exceeded"
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_blob, pl_blob, tri_blob = _soft_packs(scene)
+    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)  # degenerate pad tris gate off
+    ng = tri_blob.shape[0] // MEGA2_G
+    gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
+    NL = max(1, _cdiv(ng, gpl)) if T else 1
+    ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)] if T else [(0, 0)]
+    culled = T >= 2 * MEGA2_G
+
+    # per-(tile, light) group culling with the soft-support slack
+    if culled:
+        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
+        slack = accel.chunk_soft_slack(scene.triangles, beta, MEGA2_G, SOFT_SUPPORT)
+        glo = glo - slack[:, None]
+        ghi = ghi + slack[:, None]
+        culls = []
+        for li in range(L):
+            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
+            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+        cullm = jnp.stack(culls, axis=1)  # (nt, L, ng)
+
+    # ray/light data as (rows_pad, 128) vtiles (padded rays gate off: d=0)
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+
+    trans = None
+    for k, (ga, gb) in enumerate(ranges):
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G
+        first = k == 0
+        if culled:
+            wl3, cnt2 = [], []
+            for li in range(L):
+                w_, c_ = pk.chunk_worklist(cullm[:, li, ga:gb])
+                wl3.append(w_)
+                cnt2.append(c_)
+            wl_k = jnp.stack(wl3, axis=1)  # (nt, L, ngl)
+            cnt_k = jnp.concatenate(cnt2, axis=1)  # (nt, L)
+        else:
+            wl_k = jnp.zeros((nt, max(L, 1), max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, max(L, 1)), ngl, jnp.int32)
+        kern = _make_soft_mega_kernel(
+            tmin, beta, S if first else 0, P if first else 0, Tl, ngl, L,
+            first, culled,
+        )
+        in_specs = [
+            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
+        ] + [vtile] * (3 + 4 * L)
+        ins = [
+            sph_in, pln_in,
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            wl_k, cnt_k[:, None, :],
+        ] + p_tiles + light_tiles
+        aliases = {}
+        if not first:
+            base = len(ins)
+            in_specs += [vtile] * L
+            ins += list(trans)
+            aliases = {base + j: j for j in range(L)}
+        trans = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[vtile] * L,
+            out_shape=[acc_shape] * L,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+    return jnp.stack([t.reshape(-1)[:R] for t in trans])
+
+
+# ---------------------------------------------------------------------------
+# Ray-side backward kernel (the "dgrad" of the dgrad/wgrad split): cotangents
+# for the shadow origins, light directions, and light distances, accumulated
+# per ray over the same culled worklists as the forward.  Per-primitive
+# (geometry) cotangents need a cross-ray reduction and live in a separate
+# prim-parallel kernel; callers fall back to the jnp VJP for those
+# (raytpu/grad/soft.py), which XLA prunes unless geometry is optimized.
+#
+# Chain rule per class (g_m = dL/d margin, recomputed forward in-register):
+#   occ    = min(sigmoid(beta*margin), OCC_MAX) * gate
+#   g_occ  = -g * trans_total / (1 - occ)          (prod VJP, factors >= 1e-6)
+#   g_m    = g_occ * gate * [sig < OCC_MAX] * beta * sig * (1 - sig)
+#   sphere: margin=(r2-perp2)/r2 -> g_perp2=-g_m/r2;
+#           g_p += 2 g_perp2 (L - proj l) [dL/dp=-I], g_l += -2 g_perp2 proj L
+#   plane:  margin=min(t-tmin, mag-t), t=num/denom ->
+#           g_t = +-g_m, g_mag += g_m [far side], g_p += -(g_t/denom) n,
+#           g_l += (-g_t t/denom) n
+#   tri:    margin=min(u,v,1-u-v); u=det(s,l,e2)/a, v=det(l,s,e1)/a,
+#           a=det(e1,l,e2) -> triple-product partials:
+#           g_s = g_Nu (l x e2) + g_Nv (e1 x l);  g_p += g_s
+#           g_l += g_Nu (e2 x s) + g_Nv (s x e1) + g_a (e2 x e1)
+# ---------------------------------------------------------------------------
+
+
+def _dsig(margin, gate, beta):
+    """d occ / d margin for gated lanes (0 where clipped by OCC_MAX)."""
+    sig = 1.0 / (1.0 + jnp.exp(-beta * margin))
+    live = gate & (sig < OCC_MAX)
+    return jnp.where(live, beta * sig * (1.0 - sig), 0.0), jnp.where(
+        gate, jnp.minimum(sig, OCC_MAX), 0.0
+    )
+
+
+def _sphere_dray(sph_ref, s, px, py, pz, lx, ly, lz, mag, g_occ_base, tmin, beta):
+    cx, cy, cz, r2 = sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3]
+    Lx = cx - px
+    Ly = cy - py
+    Lz = cz - pz
+    proj = lx * Lx + ly * Ly + lz * Lz
+    perp2 = Lx * Lx + Ly * Ly + Lz * Lz - proj * proj
+    margin = (r2 - perp2) / r2
+    inside = margin > 0.0
+    t = proj - jnp.sqrt(jnp.where(inside, r2 - perp2, 1.0))
+    gate = inside & (t >= tmin) & (t <= mag)
+    docc, occ = _dsig(margin, gate, beta)
+    g_m = g_occ_base / (1.0 - occ) * docc
+    g_perp2 = -g_m / r2
+    c2 = 2.0 * g_perp2
+    g_px = -c2 * (Lx - proj * lx)
+    g_py = -c2 * (Ly - proj * ly)
+    g_pz = -c2 * (Lz - proj * lz)
+    g_lx = -c2 * proj * Lx
+    g_ly = -c2 * proj * Ly
+    g_lz = -c2 * proj * Lz
+    zero = jnp.zeros_like(g_px)
+    return (g_px, g_py, g_pz), (g_lx, g_ly, g_lz), zero
+
+
+def _plane_dray(pl_ref, p, px, py, pz, lx, ly, lz, mag, g_occ_base, tmin, beta):
+    nx, ny, nz, d = pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 3]
+    denom = lx * nx + ly * ny + lz * nz
+    denom_nz = jnp.abs(denom) > FLT_EPSILON
+    denom_s = jnp.where(denom_nz, denom, 1.0)
+    num = d - (px * nx + py * ny + pz * nz)
+    t = num / denom_s
+    near = (t - tmin) <= (mag - t)
+    margin = jnp.minimum(t - tmin, mag - t)
+    gate = denom_nz & (margin > 0.0)
+    docc, occ = _dsig(margin, gate, beta)
+    g_m = g_occ_base / (1.0 - occ) * docc
+    g_t = jnp.where(near, g_m, -g_m)
+    g_mag = jnp.where(near, 0.0, g_m)
+    g_num = g_t / denom_s
+    g_den = -g_t * t / denom_s
+    return (
+        (-g_num * nx, -g_num * ny, -g_num * nz),
+        (g_den * nx, g_den * ny, g_den * nz),
+        g_mag,
+    )
+
+
+def _tri_dray(tri_ref, k, px, py, pz, lx, ly, lz, mag, g_occ_base, tmin, beta):
+    v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
+    e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
+    e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
+    nx, ny, nz = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
+    cull = tri_ref[k, 12]
+    cull_dot = nx * lx + ny * ly + nz * lz
+    not_par = jnp.abs(cull_dot) >= FLT_EPSILON
+    cull_eff = jnp.where(cull == 2.0, 2.0, 1.0 - cull)
+    culled = ((cull_eff == 0.0) & (cull_dot < 0.0)) | ((cull_eff == 1.0) & (cull_dot > 0.0))
+    hx = ly * e2z - lz * e2y
+    hy = lz * e2x - lx * e2z
+    hz = lx * e2y - ly * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    det_ok = jnp.abs(a) >= FLT_EPSILON
+    inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+    sx = px - v0x
+    sy = py - v0y
+    sz = pz - v0z
+    u = inv_a * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv_a * (lx * qx + ly * qy + lz * qz)
+    t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
+    w = 1.0 - u - v
+    margin = jnp.minimum(jnp.minimum(u, v), w)
+    gate = not_par & ~culled & det_ok & (t >= tmin) & (t < mag)
+    docc, occ = _dsig(margin, gate, beta)
+    g_m = g_occ_base / (1.0 - occ) * docc
+    su = (u <= v) & (u <= w)
+    sv = jnp.logical_not(su) & (v <= w)
+    sw = jnp.logical_not(su) & jnp.logical_not(sv)
+    su_f = jnp.where(su, 1.0, 0.0)
+    sv_f = jnp.where(sv, 1.0, 0.0)
+    sw_f = jnp.where(sw, 1.0, 0.0)
+    g_u = g_m * (su_f - sw_f)
+    g_v = g_m * (sv_f - sw_f)
+    g_Nu = g_u * inv_a
+    g_Nv = g_v * inv_a
+    g_a = -(g_u * u + g_v * v) * inv_a
+    # g_s = g_Nu * (l x e2) + g_Nv * (e1 x l)
+    ex_lx = e1y * lz - e1z * ly  # e1 x l
+    ex_ly = e1z * lx - e1x * lz
+    ex_lz = e1x * ly - e1y * lx
+    g_sx = g_Nu * hx + g_Nv * ex_lx
+    g_sy = g_Nu * hy + g_Nv * ex_ly
+    g_sz = g_Nu * hz + g_Nv * ex_lz
+    # g_l = g_Nu * (e2 x s) + g_Nv * (s x e1) + g_a * (e2 x e1)
+    e2s_x = e2y * sz - e2z * sy
+    e2s_y = e2z * sx - e2x * sz
+    e2s_z = e2x * sy - e2y * sx
+    e21_x = e2y * e1z - e2z * e1y
+    e21_y = e2z * e1x - e2x * e1z
+    e21_z = e2x * e1y - e2y * e1x
+    g_lx = g_Nu * e2s_x + g_Nv * qx + g_a * e21_x
+    g_ly = g_Nu * e2s_y + g_Nv * qy + g_a * e21_y
+    g_lz = g_Nu * e2s_z + g_Nv * qz + g_a * e21_z
+    zero = jnp.zeros_like(g_sx)
+    return (g_sx, g_sy, g_sz), (g_lx, g_ly, g_lz), zero
+
+
+def _make_soft_dray_kernel(tmin, beta, S, P, Tl, ngl, L, first, culled):
+    """One launch of the ray-side backward chain: accumulates g_p (summed
+    over lights) and per-light (g_dir, g_mag) registers over this SMEM
+    triangle subset (+ unrolled spheres/planes on the first launch)."""
+
+    def kernel(*refs):
+        sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref = refs[:5]
+        pos = 5
+        px, py, pz = (r[:] for r in refs[pos : pos + 3])
+        pos += 3
+        light_cols = []
+        for _ in range(L):
+            lx, ly, lz, mag = (r[:] for r in refs[pos : pos + 4])
+            pos += 4
+            light_cols.append((lx, ly, lz, mag))
+        gs = [refs[pos + 2 * li][:] for li in range(L)]
+        trs = [refs[pos + 2 * li + 1][:] for li in range(L)]
+        pos += 2 * L
+        carry_in = None
+        if not first:
+            carry_in = refs[pos : pos + 3 + 4 * L]
+            pos += 3 + 4 * L
+        out_refs = refs[pos:]
+
+        cnts = [cnt_ref[0, 0, li] for li in range(L)] if Tl else []
+        if first:
+            gpx = jnp.zeros((8, 128), jnp.float32)
+            gpy = jnp.zeros_like(gpx)
+            gpz = jnp.zeros_like(gpx)
+        else:
+            gpx, gpy, gpz = (r[:] for r in carry_in[:3])
+
+        for li in range(L):
+            lx, ly, lz, mag = light_cols[li]
+            # dL/d occ_j = -g * trans / (1 - occ_j): fold the constant part
+            g_occ_base = -gs[li] * trs[li]
+            if first:
+                glx = jnp.zeros((8, 128), jnp.float32)
+                gly = jnp.zeros_like(glx)
+                glz = jnp.zeros_like(glx)
+                gmag = jnp.zeros_like(glx)
+            else:
+                glx, gly, glz, gmag = (r[:] for r in carry_in[3 + 4 * li : 7 + 4 * li])
+
+            def add(contrib, gpx, gpy, gpz, glx, gly, glz, gmag):
+                (dpx, dpy, dpz), (dlx, dly, dlz), dmag = contrib
+                return (gpx + dpx, gpy + dpy, gpz + dpz,
+                        glx + dlx, gly + dly, glz + dlz, gmag + dmag)
+
+            if first:
+                for s in range(S):
+                    gpx, gpy, gpz, glx, gly, glz, gmag = add(
+                        _sphere_dray(sph_ref, s, px, py, pz, lx, ly, lz, mag,
+                                     g_occ_base, tmin, beta),
+                        gpx, gpy, gpz, glx, gly, glz, gmag)
+                for p in range(P):
+                    gpx, gpy, gpz, glx, gly, glz, gmag = add(
+                        _plane_dray(pl_ref, p, px, py, pz, lx, ly, lz, mag,
+                                    g_occ_base, tmin, beta),
+                        gpx, gpy, gpz, glx, gly, glz, gmag)
+            if Tl:
+                def fold_group(base, acc, lx=lx, ly=ly, lz=lz, mag=mag,
+                               g_occ_base=g_occ_base):
+                    for kk in range(MEGA2_G):
+                        acc = add(
+                            _tri_dray(tri_ref, base + kk, px, py, pz,
+                                      lx, ly, lz, mag, g_occ_base, tmin, beta),
+                            *acc)
+                    return acc
+
+                acc = (gpx, gpy, gpz, glx, gly, glz, gmag)
+                if culled:
+                    def body(j, acc, li=li, fold_group=fold_group):
+                        g = wl_ref[0, li, j]
+                        return fold_group(g * MEGA2_G, acc)
+
+                    acc = jax.lax.fori_loop(0, cnts[li], body, acc)
+                else:
+                    for g in range(ngl):
+                        acc = fold_group(g * MEGA2_G, acc)
+                gpx, gpy, gpz, glx, gly, glz, gmag = acc
+
+            out_refs[3 + 4 * li][:] = glx
+            out_refs[4 + 4 * li][:] = gly
+            out_refs[5 + 4 * li][:] = glz
+            out_refs[6 + 4 * li][:] = gmag
+        out_refs[0][:] = gpx
+        out_refs[1][:] = gpy
+        out_refs[2][:] = gpz
+
+    return kernel
+
+
+def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
+    """Ray-side VJP of ``soft_trans_lights_pallas``: cotangents for the
+    shadow origins, light directions, and light distances.
+
+    g, trans: (L, R) upstream cotangent and saved forward transmittance.
+    Returns ``(g_p (R,3), g_dirs (L,R,3), g_mags (L,R))``.
+    """
+    from raytpu.ops import accel
+
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    tmin = float(tmin)
+    beta = float(beta)
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    assert T <= MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_blob, pl_blob, tri_blob = _soft_packs(scene)
+    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)
+    ng = tri_blob.shape[0] // MEGA2_G
+    gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
+    NL = max(1, _cdiv(ng, gpl)) if T else 1
+    ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)] if T else [(0, 0)]
+    culled = T >= 2 * MEGA2_G
+
+    if culled:
+        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
+        slack = accel.chunk_soft_slack(scene.triangles, beta, MEGA2_G, SOFT_SUPPORT)
+        glo = glo - slack[:, None]
+        ghi = ghi + slack[:, None]
+        culls = []
+        for li in range(L):
+            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
+            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+        cullm = jnp.stack(culls, axis=1)
+
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+    gt_tiles = []
+    for li in range(L):
+        gt_tiles.append(_vtiles(g[li], rows_pad))
+        gt_tiles.append(_vtiles(trans[li], rows_pad))
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+    NOUT = 3 + 4 * L
+
+    outs = None
+    for k, (ga, gb) in enumerate(ranges):
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G
+        first = k == 0
+        if culled:
+            wl3, cnt2 = [], []
+            for li in range(L):
+                w_, c_ = pk.chunk_worklist(cullm[:, li, ga:gb])
+                wl3.append(w_)
+                cnt2.append(c_)
+            wl_k = jnp.stack(wl3, axis=1)
+            cnt_k = jnp.concatenate(cnt2, axis=1)
+        else:
+            wl_k = jnp.zeros((nt, max(L, 1), max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, max(L, 1)), ngl, jnp.int32)
+        kern = _make_soft_dray_kernel(
+            tmin, beta, S if first else 0, P if first else 0, Tl, ngl, L,
+            first, culled,
+        )
+        in_specs = [
+            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
+        ] + [vtile] * (3 + 4 * L + 2 * L)
+        ins = [
+            sph_in, pln_in,
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            wl_k, cnt_k[:, None, :],
+        ] + p_tiles + light_tiles + gt_tiles
+        aliases = {}
+        if not first:
+            base = len(ins)
+            in_specs += [vtile] * NOUT
+            ins += list(outs)
+            aliases = {base + j: j for j in range(NOUT)}
+        outs = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[vtile] * NOUT,
+            out_shape=[acc_shape] * NOUT,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+
+    flat = [o.reshape(-1)[:R] for o in outs]
+    g_p = jnp.stack(flat[:3], axis=1)  # (R,3)
+    g_dirs = jnp.stack(
+        [jnp.stack(flat[3 + 4 * li : 6 + 4 * li], axis=1) for li in range(L)]
+    )  # (L,R,3)
+    g_mags = jnp.stack([flat[6 + 4 * li] for li in range(L)])  # (L,R)
+    return g_p, g_dirs, g_mags

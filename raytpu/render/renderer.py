@@ -47,7 +47,8 @@ def generate_rays(camera, config: RenderConfig):
     return camera.origin, d.reshape(-1, 3)
 
 
-def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_fn=None, any_multi_fn=None):
+def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_fn=None,
+               any_multi_fn=None, soft_multi_fn=None):
     """Full per-ray pipeline for a batch of rays: closest hit, per-light shadow
     + lighting-mode shading, shadow dimming, tone map.  Returns (N,3) f32 in
     [0,1] (pre-quantization).  ``ro`` is (3,) or (N,3).
@@ -55,7 +56,9 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
     ``closest_fn``/``any_fn`` select the intersection backend (default: the
     batched jnp ops; raytpu.render.pallas_kernel passes its fused kernels).
     ``any_multi_fn(scene, p_off, dirs (L,R,3), mags (L,R), tmin) -> (L,R)``
-    computes every light's occlusion in one fused pass when provided.
+    computes every light's occlusion in one fused pass when provided;
+    ``soft_multi_fn(scene, p_off, dirs, mags) -> (L,R)`` likewise for the
+    soft (differentiable) transmittance (raytpu.grad.soft).
     """
     closest_fn = closest_fn or intersect.closest_hit
     any_fn = any_fn or intersect.any_hit
@@ -77,6 +80,7 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
 
     light_dirs = [shading.direction_to_light(scene.lights, li, p_off) for li in range(scene.lights.count)]
     occ_multi = None
+    trans_multi = None
     if any_multi_fn is not None and config.shadows and not config.soft_shadows and light_dirs:
         occ_multi = any_multi_fn(
             scene,
@@ -85,14 +89,24 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
             jnp.stack([m for _, m in light_dirs]),
             config.ray_min,
         )
+    if soft_multi_fn is not None and config.shadows and config.soft_shadows and light_dirs:
+        trans_multi = soft_multi_fn(
+            scene,
+            p_off,
+            jnp.stack([l for l, _ in light_dirs]),
+            jnp.stack([m for _, m in light_dirs]),
+        )
 
     for li in range(scene.lights.count):
         l, mag = light_dirs[li]
         if config.shadows and config.soft_shadows:
             # differentiable transmittance in [0,1]; hard limit as beta->inf
-            trans = intersect.soft_transmittance(
-                scene, p_off, l, jnp.float32(config.ray_min), mag, jnp.float32(config.soft_beta)
-            )
+            if trans_multi is not None:
+                trans = trans_multi[li]
+            else:
+                trans = intersect.soft_transmittance(
+                    scene, p_off, l, jnp.float32(config.ray_min), mag, jnp.float32(config.soft_beta)
+                )
             trans = jnp.where(rec.hit, trans, 1.0)
         elif config.shadows:
             occluded = occ_multi[li] if occ_multi is not None else any_fn(scene, p_off, l, config.ray_min, mag)
@@ -150,7 +164,7 @@ def _auto_chunk(num_rays: int, num_prims: int) -> int:
 
 
 def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None,
-                      remat: bool = False):
+                      remat: bool = False, soft_multi_fn=None):
     """Chunked shade_rays over an arbitrary flat ray batch.
 
     ``remat``: wrap the shade in ``jax.checkpoint`` so a backward pass
@@ -160,7 +174,8 @@ def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=Non
     n = rd.shape[0]
     nprim = max(scene.num_primitives, 1)
     chunk = config.ray_chunk or _auto_chunk(n, nprim)
-    body = lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn)
+    body = lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn,
+                                     soft_multi_fn=soft_multi_fn)
     if remat:
         body = jax.checkpoint(body)
     if n <= chunk:

@@ -1,0 +1,128 @@
+"""Pallas soft-transmittance kernels + custom-VJP pairing (raytpu.grad.soft).
+
+Runs in interpret mode on CPU (conftest).  The kernel must match the jnp
+``intersect.soft_transmittance`` up to the culled sigmoid tail (< ~2e-9 per
+clipped primitive); gradients are the jnp VJP by construction but are
+re-checked end to end through the renderer.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytpu.core import scenes
+from raytpu.core.types import RenderConfig
+from raytpu.grad import diff_render
+from raytpu.grad.soft import _jnp_ref, soft_trans_lights
+from raytpu.ops import intersect, shading
+from raytpu.render import renderer
+
+
+def _shadow_inputs(name, w, h):
+    scene = scenes.get(name).build()
+    cfg = RenderConfig(width=w, height=h, soft_shadows=True)
+    ro, rd = renderer.generate_rays(scene.camera, cfg)
+    ro = jnp.broadcast_to(ro, rd.shape)
+    rec = intersect.closest_hit(scene, ro, rd, cfg.ray_min)
+    p = rec.point + rec.normal * jnp.float32(cfg.normal_offset)
+    lds = [shading.direction_to_light(scene.lights, li, p)
+           for li in range(scene.lights.count)]
+    dirs = jnp.stack([l for l, _ in lds])
+    mags = jnp.stack([m for _, m in lds])
+    return scene, cfg, p, dirs, mags
+
+
+@pytest.mark.parametrize("name", ["reference", "bunny"])
+def test_soft_kernel_matches_jnp(name):
+    scene, cfg, p, dirs, mags = _shadow_inputs(name, 64, 48)
+    ref = _jnp_ref(cfg.ray_min, cfg.soft_beta, scene, p, dirs, mags)
+    out = soft_trans_lights(True, cfg.ray_min, cfg.soft_beta, scene, p, dirs, mags)
+    # atol: the pack's precomputed plane d = dot(o, n) and the kernel sigmoid
+    # reassociate fp ops; beta=300 amplifies ulp-level margin differences on
+    # rays grazing a shadow edge (observed max ~2e-4 on isolated elements)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-4)
+
+
+def test_soft_kernel_grads_are_jnp_grads():
+    """The custom VJP must equal jax.grad of the jnp reference exactly
+    (same function, same residuals)."""
+    scene, cfg, p, dirs, mags = _shadow_inputs("reference", 32, 24)
+
+    def loss_k(p_, d_, m_, s_):
+        return jnp.sum(soft_trans_lights(True, cfg.ray_min, cfg.soft_beta, s_, p_, d_, m_) ** 2)
+
+    def loss_j(p_, d_, m_, s_):
+        return jnp.sum(_jnp_ref(cfg.ray_min, cfg.soft_beta, s_, p_, d_, m_) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(p, dirs, mags, scene)
+    gj = jax.grad(loss_j, argnums=(0, 1, 2))(p, dirs, mags, scene)
+    for a, b in zip(gk, gj):
+        # the only difference is the forward value entering the squared loss
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["reference", "bunny"])
+def test_dray_kernel_matches_jnp_vjp(name):
+    """Hand-written ray-side backward kernel vs jax.vjp of the jnp op."""
+    from raytpu.render import pallas_soft
+
+    scene, cfg, p, dirs, mags = _shadow_inputs(name, 48, 32)
+    trans = _jnp_ref(cfg.ray_min, cfg.soft_beta, scene, p, dirs, mags)
+    key = jax.random.PRNGKey(0)
+    g = jax.random.uniform(key, trans.shape, jnp.float32, -1.0, 1.0)
+    g_p, g_dirs, g_mags = pallas_soft.soft_dray_pallas(
+        scene, p, dirs, mags, g, trans, cfg.ray_min, cfg.soft_beta
+    )
+    _, vjp = jax.vjp(
+        lambda pp, dd, mm: _jnp_ref(cfg.ray_min, cfg.soft_beta, scene, pp, dd, mm),
+        p, dirs, mags,
+    )
+    r_p, r_dirs, r_mags = vjp(g)
+    # beta=300 chain factors amplify ulp-level margin differences on shadow-
+    # edge rays (packed plane d = dot(o, n) reassociates; observed ~2.5e-4 on
+    # isolated elements); compare with a scale-relative tolerance per array
+    for a, b in ((g_p, r_p), (g_dirs, r_dirs), (g_mags, r_mags)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3)
+
+
+def test_render_soft_kernels_image_close():
+    """Full differentiable render with kernels on vs off: images match up to
+    isolated closest-hit winner flips (fp reassociation, CLAUDE.md)."""
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=48, height=32)
+    img_j = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=False))
+    img_k = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=True))
+    diff = np.abs(img_j - img_k).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.01, f"flip fraction {(diff > 1e-3).mean()}"
+    assert np.median(diff) < 1e-5
+
+
+def test_render_soft_kernels_grads_close():
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=48, height=32)
+
+    def mat_loss(c, k):
+        s = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, color=c)
+        )
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=k))
+
+    g_j = np.asarray(jax.grad(lambda c: mat_loss(c, False))(scene.materials.color))
+    g_k = np.asarray(jax.grad(lambda c: mat_loss(c, True))(scene.materials.color))
+    np.testing.assert_allclose(g_k, g_j, rtol=5e-3, atol=1e-6)
+
+    def light_loss(pos, k):
+        s = dataclasses.replace(
+            scene, lights=dataclasses.replace(scene.lights, position=pos)
+        )
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=k))
+
+    gl_j = np.asarray(jax.grad(lambda x: light_loss(x, False))(scene.lights.position))
+    gl_k = np.asarray(jax.grad(lambda x: light_loss(x, True))(scene.lights.position))
+    np.testing.assert_allclose(gl_k, gl_j, rtol=2e-2, atol=1e-6)
+    assert np.isfinite(gl_k).all() and np.abs(gl_k).sum() > 0
