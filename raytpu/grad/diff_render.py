@@ -43,25 +43,12 @@ def _pallas_min_t(scene, ro, rd, tmin):
     return t[:R], idx[:R]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "detached", "kernels"))
-def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
-                    kernels: bool | None = None):
-    """f32 soft-shadow render on the FAST differentiable path.
-
-    Three measured wins over naive ``grad(render)`` (PERF.md round 2):
-      * the shade is rematerialized (``jax.checkpoint``): the backward pass
-        recomputes the fused forward instead of streaming O(R*N) residuals
-        from HBM (the backward was ~10x the forward, HBM-bound);
-      * ``detached`` (default): closest hits route through
-        ``raytpu.grad.fast.detached_closest_hit`` — O(R) differentiated hit
-        re-derivation with one-hot matmul gathers, so the autodiff graph
-        never transposes the O(R*N) t-matrix;
-      * ``kernels`` (default: auto — on TPU with >= 256 triangles): the soft
-        transmittance and the detached winner search run as chunk-culled
-        Pallas kernels with a custom VJP (raytpu.grad.soft); gradients stay
-        the jnp path's gradients.
-    """
-    cfg = dataclasses.replace(config, soft_shadows=True)
+def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,
+                  kernels: bool | None = None):
+    """Resolve ``(closest_fn, soft_multi_fn)`` for the fast differentiable
+    path.  ``kernels=None`` auto-enables the Pallas custom-VJP kernels on
+    TPU when the scene fits their budgets (also used by the sharded train
+    step, raytpu/parallel/training.py)."""
     if kernels is None:
         from raytpu.render import pallas_kernel as _pk
         from raytpu.render import pallas_soft as _ps
@@ -81,6 +68,29 @@ def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
         )
         if detached:
             closest_fn = functools.partial(detached_closest_hit, min_t_fn=_pallas_min_t)
+    return closest_fn, soft_multi_fn
+
+
+@functools.partial(jax.jit, static_argnames=("config", "detached", "kernels"))
+def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
+                    kernels: bool | None = None):
+    """f32 soft-shadow render on the FAST differentiable path.
+
+    Three measured wins over naive ``grad(render)`` (PERF.md round 2):
+      * the shade is rematerialized (``jax.checkpoint``): the backward pass
+        recomputes the fused forward instead of streaming O(R*N) residuals
+        from HBM (the backward was ~10x the forward, HBM-bound);
+      * ``detached`` (default): closest hits route through
+        ``raytpu.grad.fast.detached_closest_hit`` — O(R) differentiated hit
+        re-derivation with one-hot matmul gathers, so the autodiff graph
+        never transposes the O(R*N) t-matrix;
+      * ``kernels`` (default: auto — on TPU with >= 256 triangles): the soft
+        transmittance and the detached winner search run as chunk-culled
+        Pallas kernels with a custom VJP (raytpu.grad.soft); gradients stay
+        the jnp path's gradients.
+    """
+    cfg = dataclasses.replace(config, soft_shadows=True)
+    closest_fn, soft_multi_fn = soft_backends(scene, cfg, detached, kernels)
     ro, rd = renderer.generate_rays(scene.camera, cfg)
     colors = renderer.render_pixels_f32(
         scene, ro, rd, cfg,

@@ -18,7 +18,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from raytpu.core.types import RenderConfig, Scene
-from raytpu.render.renderer import generate_rays, shade_rays
+from raytpu.render.renderer import generate_rays
 
 
 def make_sharded_train_step(config: RenderConfig, optimizer, param_fn, merge_fn, mesh: Mesh):
@@ -42,9 +42,19 @@ def make_sharded_train_step(config: RenderConfig, optimizer, param_fn, merge_fn,
         valid = (lane < num_rays)[:, None]  # mask out padded rays
 
         def local_loss(p):
+            from raytpu.grad import diff_render
+            from raytpu.render.renderer import render_pixels_f32
+
             s = merge_fn(scene, p)
             ro, _ = generate_rays(s.camera, soft_cfg)
-            colors = shade_rays(s, ro, rd_block, soft_cfg)
+            # same fast path as the single-chip step: detached closest hit,
+            # remat, and (on TPU, when the scene fits) the Pallas soft
+            # custom-VJP kernels — composed per shard inside shard_map
+            closest_fn, soft_multi_fn = diff_render.soft_backends(s, soft_cfg)
+            colors = render_pixels_f32(
+                s, ro, rd_block, soft_cfg, closest_fn=closest_fn, remat=True,
+                soft_multi_fn=soft_multi_fn,
+            )
             err = jnp.sum(jnp.where(valid, (colors - target_block) ** 2, 0.0))
             return err / (num_rays * 3.0)
 
