@@ -648,3 +648,230 @@ def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
     )  # (L,R,3)
     g_mags = jnp.stack([flat[6 + 4 * li] for li in range(L)])  # (L,R)
     return g_p, g_dirs, g_mags
+
+
+# ---------------------------------------------------------------------------
+# Prim-side backward kernel (the "wgrad"): triangle-vertex cotangents,
+# accumulated across rays.  Layout flip: a worklist GROUP is MEGA2_G = 8
+# triangles — exactly one sublane axis — so each (8, 128) block is (8 tris x
+# 128 rays), triangle attributes are (8, 1) column slices of a VMEM-resident
+# blob, and per-group grad accumulators stay in registers until one
+# lane-reduction + read-modify-write per group.  The output block is
+# revisited across the sequential ray-tile grid (zeroed at tile 0), so the
+# cross-ray reduction needs no scatters and no host-side segment sums.
+#
+# Triple-product partials (s = p - v0, h = l x e2, q = s x e1):
+#   g_s   = g_Nu h + g_Nv (e1 x l)        -> g_v0 (holding e1, e2) = -g_s
+#   g_e1  = g_Nv (l x s) + g_a h
+#   g_e2  = g_Nu (s x l) + g_a (e1 x l)
+# and dL/dv1 = g_e1, dL/dv2 = g_e2, dL/dv0 = -g_s - g_e1 - g_e2 (the blob
+# stores v0/e1/e2); the conversion to v0/v1/v2 happens in XLA.
+# Sphere/plane geometry cotangents are cheap (<= 16 unrolled primitives) and
+# come from a surgical jnp VJP on a triangle-free scene (raytpu/grad/soft.py).
+# ---------------------------------------------------------------------------
+
+
+def _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled):
+    def kernel(*refs):
+        tri_ref, wl_ref, cnt_ref = refs[:3]
+        pos = 3
+        px_r, py_r, pz_r = refs[pos : pos + 3]
+        pos += 3
+        light_refs = [refs[pos + 4 * li : pos + 4 * li + 4] for li in range(L)]
+        pos += 4 * L
+        gt_refs = [refs[pos + 2 * li : pos + 2 * li + 2] for li in range(L)]
+        pos += 2 * L
+        out_ref = refs[pos]
+
+        i = pl.program_id(0)
+        cnts = [cnt_ref[0, 0, li] for li in range(L)]
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[:] = jnp.zeros((Tl, 9), jnp.float32)
+
+        px, py, pz = px_r[:], py_r[:], pz_r[:]
+
+        for li in range(L):
+            lxr, lyr, lzr, magr = (r[:] for r in light_refs[li])
+            g_t, tr_t = gt_refs[li][0][:], gt_refs[li][1][:]
+
+            def group_grads(base, lxr=lxr, lyr=lyr, lzr=lzr, magr=magr,
+                            g_t=g_t, tr_t=tr_t):
+                ds = pl.ds(base, 8)
+                v0x, v0y, v0z = tri_ref[ds, 0:1], tri_ref[ds, 1:2], tri_ref[ds, 2:3]
+                e1x, e1y, e1z = tri_ref[ds, 3:4], tri_ref[ds, 4:5], tri_ref[ds, 5:6]
+                e2x, e2y, e2z = tri_ref[ds, 6:7], tri_ref[ds, 7:8], tri_ref[ds, 8:9]
+                nx, ny, nz = tri_ref[ds, 9:10], tri_ref[ds, 10:11], tri_ref[ds, 11:12]
+                cull = tri_ref[ds, 12:13]
+                cull_eff = jnp.where(cull == 2.0, 2.0, 1.0 - cull)
+                acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(9)]
+                for r in range(8):
+                    ox = px[r : r + 1, :]  # (1,128) ray row vs (8,1) tri cols
+                    oy = py[r : r + 1, :]
+                    oz = pz[r : r + 1, :]
+                    lx = lxr[r : r + 1, :]
+                    ly = lyr[r : r + 1, :]
+                    lz = lzr[r : r + 1, :]
+                    mag = magr[r : r + 1, :]
+                    g_occ_base = -g_t[r : r + 1, :] * tr_t[r : r + 1, :]
+                    cull_dot = nx * lx + ny * ly + nz * lz
+                    not_par = jnp.abs(cull_dot) >= FLT_EPSILON
+                    culled_m = ((cull_eff == 0.0) & (cull_dot < 0.0)) | (
+                        (cull_eff == 1.0) & (cull_dot > 0.0))
+                    hx = ly * e2z - lz * e2y
+                    hy = lz * e2x - lx * e2z
+                    hz = lx * e2y - ly * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    det_ok = jnp.abs(a) >= FLT_EPSILON
+                    inv_a = 1.0 / jnp.where(det_ok, a, 1.0)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = inv_a * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = inv_a * (lx * qx + ly * qy + lz * qz)
+                    t = inv_a * (e2x * qx + e2y * qy + e2z * qz)
+                    w = 1.0 - u - v
+                    margin = jnp.minimum(jnp.minimum(u, v), w)
+                    gate = not_par & ~culled_m & det_ok & (t >= tmin) & (t < mag)
+                    sig = 1.0 / (1.0 + jnp.exp(-beta * margin))
+                    occ = jnp.where(gate, jnp.minimum(sig, OCC_MAX), 0.0)
+                    live = gate & (sig < OCC_MAX)
+                    docc = jnp.where(live, beta * sig * (1.0 - sig), 0.0)
+                    g_m = g_occ_base / (1.0 - occ) * docc
+                    su = (u <= v) & (u <= w)
+                    sv = jnp.logical_not(su) & (v <= w)
+                    sw = jnp.logical_not(su) & jnp.logical_not(sv)
+                    g_u = g_m * (jnp.where(su, 1.0, 0.0) - jnp.where(sw, 1.0, 0.0))
+                    g_v = g_m * (jnp.where(sv, 1.0, 0.0) - jnp.where(sw, 1.0, 0.0))
+                    g_Nu = g_u * inv_a
+                    g_Nv = g_v * inv_a
+                    g_a = -(g_u * u + g_v * v) * inv_a
+                    e1l_x = e1y * lz - e1z * ly  # e1 x l
+                    e1l_y = e1z * lx - e1x * lz
+                    e1l_z = e1x * ly - e1y * lx
+                    ls_x = ly * sz - lz * sy  # l x s
+                    ls_y = lz * sx - lx * sz
+                    ls_z = lx * sy - ly * sx
+                    # g_s
+                    acc[0] += g_Nu * hx + g_Nv * e1l_x
+                    acc[1] += g_Nu * hy + g_Nv * e1l_y
+                    acc[2] += g_Nu * hz + g_Nv * e1l_z
+                    # g_e1 = g_Nv (l x s) + g_a h
+                    acc[3] += g_Nv * ls_x + g_a * hx
+                    acc[4] += g_Nv * ls_y + g_a * hy
+                    acc[5] += g_Nv * ls_z + g_a * hz
+                    # g_e2 = g_Nu (s x l) + g_a (e1 x l)
+                    acc[6] += -g_Nu * ls_x + g_a * e1l_x
+                    acc[7] += -g_Nu * ls_y + g_a * e1l_y
+                    acc[8] += -g_Nu * ls_z + g_a * e1l_z
+                for c in range(9):
+                    red = jnp.sum(acc[c], axis=1, keepdims=True)  # (8,1)
+                    out_ref[ds, c : c + 1] += red
+
+            if culled:
+                def body(j, carry, li=li, group_grads=group_grads):
+                    g = wl_ref[0, li, j]
+                    group_grads(pl.multiple_of(g * MEGA2_G, MEGA2_G))
+                    return carry
+
+                jax.lax.fori_loop(0, cnts[li], body, 0)
+            else:
+                for g in range(ngl):
+                    group_grads(g * MEGA2_G)
+
+    return kernel
+
+
+def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
+    """Triangle-vertex VJP of ``soft_trans_lights_pallas``: returns
+    ``(g_v0, g_v1, g_v2)`` each (T, 3), summed over all rays and lights.
+
+    The per-launch output is accumulated in a revisited (Tl, 9) block across
+    the sequential ray-tile grid; SMEM-chained launches cover disjoint
+    triangle subsets, so their outputs concatenate.
+    """
+    from raytpu.ops import accel
+
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    tmin = float(tmin)
+    beta = float(beta)
+    T = scene.triangles.count
+    assert 0 < T <= MAX_TRIS
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    _, _, tri_blob = _soft_packs(scene)
+    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)
+    ng = tri_blob.shape[0] // MEGA2_G
+    gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
+    NL = max(1, _cdiv(ng, gpl))
+    ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)]
+    culled = T >= 2 * MEGA2_G
+
+    if culled:
+        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
+        slack = accel.chunk_soft_slack(scene.triangles, beta, MEGA2_G, SOFT_SUPPORT)
+        glo = glo - slack[:, None]
+        ghi = ghi + slack[:, None]
+        culls = []
+        for li in range(L):
+            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
+            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+        cullm = jnp.stack(culls, axis=1)
+
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+    gt_tiles = []
+    for li in range(L):
+        gt_tiles.append(_vtiles(g[li], rows_pad))
+        gt_tiles.append(_vtiles(trans[li], rows_pad))
+
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    outs = []
+    for ga, gb in ranges:
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G
+        if culled:
+            wl3, cnt2 = [], []
+            for li in range(L):
+                w_, c_ = pk.chunk_worklist(cullm[:, li, ga:gb])
+                wl3.append(w_)
+                cnt2.append(c_)
+            wl_k = jnp.stack(wl3, axis=1)
+            cnt_k = jnp.concatenate(cnt2, axis=1)
+        else:
+            wl_k = jnp.zeros((nt, max(L, 1), max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, max(L, 1)), ngl, jnp.int32)
+        kern = _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled)
+        in_specs = [
+            pl.BlockSpec((Tl, 13), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
+        ] + [vtile] * (3 + 4 * L + 2 * L)
+        ins = [
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G], wl_k, cnt_k[:, None, :],
+        ] + p_tiles + light_tiles + gt_tiles
+        out = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((Tl, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Tl, 9), jnp.float32),
+            interpret=interpret,
+        )(*ins)
+        outs.append(out)
+
+    full = jnp.concatenate(outs, axis=0)[:T]  # (T, 9): [g_s, g_e1, g_e2]
+    g_s, g_e1, g_e2 = full[:, 0:3], full[:, 3:6], full[:, 6:9]
+    return -g_s - g_e1 - g_e2, g_e1, g_e2

@@ -90,6 +90,49 @@ def test_dray_kernel_matches_jnp_vjp(name):
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-3)
 
 
+def test_dprim_kernel_matches_jnp_vjp():
+    """Prim-parallel triangle-vertex backward kernel vs jax.vjp of the jnp op."""
+    from raytpu.render import pallas_soft
+
+    scene, cfg, p, dirs, mags = _shadow_inputs("bunny", 48, 32)
+    trans = _jnp_ref(cfg.ray_min, cfg.soft_beta, scene, p, dirs, mags)
+    g = jax.random.uniform(jax.random.PRNGKey(1), trans.shape, jnp.float32, -1.0, 1.0)
+    g_v0, g_v1, g_v2 = pallas_soft.soft_dprim_pallas(
+        scene, p, dirs, mags, g, trans, cfg.ray_min, cfg.soft_beta
+    )
+    import dataclasses
+
+    def f(v0, v1, v2):
+        tr = dataclasses.replace(scene.triangles, v0=v0, v1=v1, v2=v2)
+        s = dataclasses.replace(scene, triangles=tr)
+        return _jnp_ref(cfg.ray_min, cfg.soft_beta, s, p, dirs, mags)
+
+    _, vjp = jax.vjp(f, scene.triangles.v0, scene.triangles.v1, scene.triangles.v2)
+    r_v0, r_v1, r_v2 = vjp(g)
+    for a, b in ((g_v0, r_v0), (g_v1, r_v1), (g_v2, r_v2)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3)
+
+
+def test_render_soft_kernels_mesh_vertex_grads_close():
+    """End-to-end: mesh-vertex gradients with kernels on vs off (exercises
+    the dprim kernel + surgical sphere/plane cotangent split)."""
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=48, height=32)
+
+    def loss(v0, k):
+        tr = dataclasses.replace(scene.triangles, v0=v0)
+        s = dataclasses.replace(scene, triangles=tr)
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=k))
+
+    g_j = np.asarray(jax.grad(lambda v: loss(v, False))(scene.triangles.v0))
+    g_k = np.asarray(jax.grad(lambda v: loss(v, True))(scene.triangles.v0))
+    scale = max(np.abs(g_j).max(), 1e-8)
+    np.testing.assert_allclose(g_k / scale, g_j / scale, atol=2e-3)
+    assert np.abs(g_k).sum() > 0
+
+
 def test_render_soft_kernels_image_close():
     """Full differentiable render with kernels on vs off: images match up to
     isolated closest-hit winner flips (fp reassociation, CLAUDE.md)."""
