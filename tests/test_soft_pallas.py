@@ -64,6 +64,37 @@ def test_soft_kernel_grads_are_jnp_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_soft_kernel_directional_light_matches_jnp():
+    """Directional lights shadow with mag=FLT_MAX through the kernels
+    (reference's directional branch is dead code; ours is live)."""
+    from raytpu.core import obj
+    from raytpu.core.types import CullMode, SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_lambert((0.8, 0.2, 0.2), 1.0)
+    b.add_plane((0.0, 0.0, 0.0), (0.0, 1.0, 0.0), m)
+    pos, nrm, idx = obj.parse_obj("lowpoly_bunny2.obj")
+    mesh = b.add_triangle_mesh(CullMode.NONE, m)
+    mesh.set_geometry(pos, idx, nrm)
+    mesh.scale((2.0, 2.0, 2.0))
+    b.add_directional_light((0.3, -0.8, 0.5), 2.0, (1.0, 1.0, 1.0))
+    b.add_point_light((0.0, 5.0, 5.0), 50.0, (1.0, 0.8, 0.5))
+    b.set_camera((0.0, 3.0, -9.0), fov_degrees=45.0)
+    scene = b.build()
+    cfg = RenderConfig(width=48, height=32, soft_shadows=True)
+    ro, rd = renderer.generate_rays(scene.camera, cfg)
+    ro = jnp.broadcast_to(ro, rd.shape)
+    rec = intersect.closest_hit(scene, ro, rd, cfg.ray_min)
+    p = rec.point + rec.normal * jnp.float32(cfg.normal_offset)
+    lds = [shading.direction_to_light(scene.lights, li, p)
+           for li in range(scene.lights.count)]
+    dirs = jnp.stack([l for l, _ in lds])
+    mags = jnp.stack([m_ for _, m_ in lds])
+    ref = _jnp_ref(cfg.ray_min, cfg.soft_beta, scene, p, dirs, mags)
+    out = soft_trans_lights(True, cfg.ray_min, cfg.soft_beta, scene, p, dirs, mags)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("name", ["reference", "bunny"])
 def test_dray_kernel_matches_jnp_vjp(name):
     """Hand-written ray-side backward kernel vs jax.vjp of the jnp op."""
