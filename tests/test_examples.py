@@ -28,6 +28,28 @@ def test_inverse_rendering_example(tmp_path):
     assert "final loss" in proc.stdout
 
 
+def test_geometry_fit_example(tmp_path):
+    out = tmp_path / "strip.png"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "examples" / "geometry_fit.py"),
+            "--steps", "40",
+            "--size", "32x24",
+            "--noise", "0.08",
+            "--platform", "cpu",
+            "--out", str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (proc.stdout[-1000:], proc.stderr[-2000:])
+    assert out.exists()
+    assert "vertex RMSE" in proc.stdout
+
+
 def test_inverse_rendering_checkpoint_resume(tmp_path):
     """Run with checkpointing, then resume from the saved state."""
     out = tmp_path / "strip.png"
