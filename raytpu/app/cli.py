@@ -39,6 +39,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="lighting debug mode (reference: F3)",
     )
     p.add_argument("--no-shadows", action="store_true", help="disable shadow rays (reference: F2)")
+    p.add_argument("--soft-shadows", action="store_true",
+                   help="sigmoid soft-shadow visibility (the differentiable "
+                        "path's shading; a capability the reference lacks)")
+    p.add_argument("--soft-beta", type=float, default=None, metavar="B",
+                   help="soft-shadow sigmoid sharpness (default 300; lower = softer)")
     p.add_argument("--frames", type=int, default=1, help="number of animated frames to render")
     p.add_argument("--screenshot", metavar="PATH", default=None, help="save the last frame (BMP or PNG)")
     p.add_argument("--benchmark", type=int, metavar="N", default=0, help="run an N-sample FPS benchmark (reference: F6)")
@@ -91,7 +96,13 @@ def main(argv=None) -> int:
     if args.ssaa < 1:
         print(f"error: --ssaa must be >= 1 (got {args.ssaa})", file=sys.stderr)
         return 2
-    config = RenderConfig(width=w, height=h, lighting_mode=_MODES[args.mode], shadows=not args.no_shadows)
+    soft_kw = {}
+    if args.soft_shadows:
+        soft_kw["soft_shadows"] = True
+        if args.soft_beta is not None:
+            soft_kw["soft_beta"] = float(args.soft_beta)
+    config = RenderConfig(width=w, height=h, lighting_mode=_MODES[args.mode],
+                          shadows=not args.no_shadows, **soft_kw)
     spec = scenes.get(args.scene)
     scene = spec.build()
     render_fn, backend = make_render_fn(args.renderer)

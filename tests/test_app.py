@@ -104,6 +104,21 @@ def test_cli_lighting_mode_and_shadow_flags(tmp_path):
     assert (imgs["combined"] != imgs["observed_area"]).any()
 
 
+def test_cli_soft_shadows_flag(tmp_path):
+    """--soft-shadows renders the differentiable path's sigmoid visibility;
+    a low beta must visibly soften shadow edges vs the hard render."""
+    from raytpu.utils.image import read_bmp
+
+    imgs = {}
+    for name, flags in (("hard", []), ("soft", ["--soft-shadows", "--soft-beta", "40"])):
+        shot = tmp_path / f"{name}.bmp"
+        proc = _run_cli(["--scene", "w2", "--size", "32x24",
+                         "--screenshot", str(shot)] + flags)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        imgs[name] = read_bmp(str(shot))
+    assert (imgs["hard"] != imgs["soft"]).any()
+
+
 def test_cli_invalid_flags():
     assert _run_cli(["--size", "banana"]).returncode == 2
     assert _run_cli(["--size", "0x0"]).returncode == 2
