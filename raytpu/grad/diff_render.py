@@ -34,13 +34,12 @@ KERNEL_MIN_TRIS = 256
 
 
 def _pallas_min_t(scene, ro, rd, tmin):
-    """Chunk-culled Pallas winner search for the detached closest hit."""
-    from raytpu.render import pallas_kernel as pk
+    """Chunk-culled Pallas winner search for the detached closest hit
+    (mega2 scalar-broadcast layout — the (RT, CT) chunked ``scene_min_t``
+    measured no faster than the dense jnp argmin, PERF.md round 2)."""
+    from raytpu.render import pallas_soft
 
-    rays = pk.pack_rays(ro, rd, jnp.inf)
-    t, idx, _, _, _, _ = pk.scene_min_t(scene, rays, float(tmin), shadow_pass=False)
-    R = rd.shape[0]
-    return t[:R], idx[:R]
+    return pallas_soft.scene_min_t_mega2(scene, ro, rd, tmin)
 
 
 def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,

@@ -185,7 +185,7 @@ def _soft_packs(scene: Scene):
              e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2],
              tr.normal[:, 0], tr.normal[:, 1], tr.normal[:, 2],
-             tr.cull.astype(jnp.float32), jnp.zeros_like(tr.cull, jnp.float32)],
+             tr.cull.astype(jnp.float32)],
             axis=1)
     else:
         tri_blob = jnp.zeros((0, 13), jnp.float32)
@@ -301,6 +301,166 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
             interpret=interpret,
         )(*ins)
     return jnp.stack([t.reshape(-1)[:R] for t in trans])
+
+
+# ---------------------------------------------------------------------------
+# Detached winner search: mega2-style (t, index) closest-hit fold for
+# arbitrary rays.  The detached differentiable path only needs WHICH
+# primitive wins per ray (raytpu/grad/fast.py re-derives the payload
+# differentiably), so this kernel folds just two (8, 128) registers — min-t
+# and the winning primitive id — over unrolled spheres/planes and the culled
+# SMEM triangle worklist.  Replaces the (RT, CT) chunked ``scene_min_t``,
+# which measured no faster than the dense jnp argmin on 300-tri scenes
+# (PERF.md round 2: the mega2 scalar-broadcast layout is the one that wins).
+# ---------------------------------------------------------------------------
+
+
+def _fid(k, base_id):
+    """f32 primitive id for unroll index ``k`` (python int or i32 scalar)."""
+    if isinstance(k, int):
+        return jnp.float32(k + base_id)
+    return (k + base_id).astype(jnp.float32)
+
+
+def _make_mint_kernel(tmin, S, P, Tl, ngl, base_id, first, culled):
+    """One launch of the winner-search chain over its SMEM triangle subset;
+    ``base_id`` is the global id of this launch's first triangle row."""
+
+    def kernel(sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref,
+               ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, *rest):
+        cnt = cnt_ref[0, 0, 0]
+        ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+        if first:
+            t = jnp.full((8, 128), pk.INF, jnp.float32)
+            idx = jnp.zeros((8, 128), jnp.float32)
+            out_refs = rest
+        else:
+            t, idx = rest[0][:], rest[1][:]
+            out_refs = rest[2:]
+
+        def upd(tc, fid, t, idx):
+            sel = tc < t  # strict: first-in-fold-order wins ties
+            return jnp.where(sel, tc, t), jnp.where(sel, fid, idx)
+
+        if first:
+            for s in range(S):
+                tc = pk._sphere_t_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
+                t, idx = upd(tc, _fid(s, 0), t, idx)
+            for p in range(P):
+                tc = pk._plane_t_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
+                t, idx = upd(tc, _fid(p, S), t, idx)
+        if Tl:
+            def fold_group(base, carry):
+                t, idx = carry
+                for kk in range(MEGA2_G):
+                    k = base + kk
+                    tc = pk._tri_t_reg(tri_ref, k, ox, oy, oz, dx, dy, dz,
+                                       tmin, pk.INF, shadow=False)
+                    t, idx = upd(tc, _fid(k, base_id), t, idx)
+                return t, idx
+
+            if culled:
+                def body(j, carry):
+                    g = wl_ref[0, 0, j]
+                    return fold_group(g * MEGA2_G, carry)
+
+                t, idx = jax.lax.fori_loop(0, cnt, body, (t, idx))
+            else:
+                for g in range(ngl):
+                    t, idx = fold_group(g * MEGA2_G, (t, idx))
+        out_refs[0][:] = t
+        out_refs[1][:] = idx
+
+    return kernel
+
+
+def scene_min_t_mega2(scene: Scene, ro, rd, tmin):
+    """Mega2-layout closest-hit winner search for arbitrary rays.
+
+    Returns ``(t (R,), idx (R,) i32)`` — the winning hit distance (INF on
+    miss) and the winner's global primitive id in reference iteration order
+    (spheres, planes, triangles; reference: source/Scene.cpp:29-66).  Ties
+    between triangles in different cull groups may resolve to either (the
+    worklist visits groups in cull-quality order, not scene order).  Built
+    for ``detached_closest_hit(min_t_fn=...)``: forward-only, no VJP.
+    """
+    from raytpu.ops import accel
+
+    R = rd.shape[0]
+    tmin = float(tmin)
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    assert T <= MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_blob, pl_blob, tri_blob = _soft_packs(scene)
+    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)  # degenerate pad tris miss
+    ng = tri_blob.shape[0] // MEGA2_G
+    gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
+    NL = max(1, _cdiv(ng, gpl)) if T else 1
+    ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)] if T else [(0, 0)]
+    culled = T >= 2 * MEGA2_G
+
+    if culled:
+        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
+        rb = accel.ray_tile_bounds(ro_b, rd, jnp.inf, tile=1024)
+        cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
+
+    ray_tiles = [_vtiles(ro_b[:, c], rows_pad) for c in range(3)] + [
+        _vtiles(rd[:, c], rows_pad) for c in range(3)
+    ]  # padded rays have d=0 -> every test misses
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+
+    outs = None
+    for k, (ga, gb) in enumerate(ranges):
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G
+        first = k == 0
+        if culled:
+            wl_k, cnt_k = pk.chunk_worklist(cullm[:, ga:gb])
+        else:
+            wl_k = jnp.zeros((nt, max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, 1), ngl, jnp.int32)
+        kern = _make_mint_kernel(
+            tmin, S if first else 0, P if first else 0, Tl, ngl,
+            S + P + ga * MEGA2_G, first, culled,
+        )
+        in_specs = [
+            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem_t((1, 1, max(ngl, 1))), smem_t((1, 1, 1)),
+        ] + [vtile] * 6
+        ins = [
+            sph_in, pln_in,
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            wl_k[:, None, :], cnt_k[:, :, None],
+        ] + ray_tiles
+        aliases = {}
+        if not first:
+            base = len(ins)
+            in_specs += [vtile, vtile]
+            ins += list(outs)
+            aliases = {base: 0, base + 1: 1}
+        outs = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[vtile, vtile],
+            out_shape=[acc_shape, acc_shape],
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+    t = outs[0].reshape(-1)[:R]
+    idx = outs[1].reshape(-1)[:R].astype(jnp.int32)
+    return t, idx
 
 
 # ---------------------------------------------------------------------------

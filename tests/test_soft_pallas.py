@@ -96,6 +96,32 @@ def test_soft_kernel_directional_light_matches_jnp():
 
 
 @pytest.mark.parametrize("name", ["reference", "bunny"])
+def test_mint_kernel_matches_jnp_argmin(name):
+    """Mega2 winner-search kernel vs the dense jnp t-matrix argmin: same
+    winners and hit mask; t matches to fp reassociation."""
+    from raytpu.ops import soa
+    from raytpu.render import pallas_soft
+
+    scene = scenes.get(name).build()
+    cfg = RenderConfig(width=64, height=48)
+    ro, rd = renderer.generate_rays(scene.camera, cfg)
+    ro = jnp.broadcast_to(ro, rd.shape)
+    tmat = intersect._scene_t_matrix_T(
+        scene, soa.comps(ro), soa.comps(rd), cfg.ray_min, intersect.INF,
+        shadow_pass=False,
+    )
+    t_ref = jnp.min(tmat, axis=0)
+    idx_ref = jnp.argmin(tmat, axis=0)
+    t_k, idx_k = pallas_soft.scene_min_t_mega2(scene, ro, rd, cfg.ray_min)
+    hit_ref = np.asarray(jnp.isfinite(t_ref))
+    assert (np.asarray(jnp.isfinite(t_k)) == hit_ref).all()
+    assert (np.asarray(idx_k)[hit_ref] == np.asarray(idx_ref)[hit_ref]).all()
+    np.testing.assert_allclose(
+        np.asarray(t_k)[hit_ref], np.asarray(t_ref)[hit_ref], rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("name", ["reference", "bunny"])
 def test_dray_kernel_matches_jnp_vjp(name):
     """Hand-written ray-side backward kernel vs jax.vjp of the jnp op."""
     from raytpu.render import pallas_soft
