@@ -50,6 +50,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark-out", default="benchmark.txt", help="benchmark report path")
     p.add_argument("--watch", action="store_true", help="print FPS once per second")
     p.add_argument("--renderer", default="auto", choices=["auto", "jnp", "pallas"], help="forward-path implementation")
+    p.add_argument("--shard", metavar="PXxPRIM", default=None,
+                   help="render on a (px, prim) device mesh via shard_map "
+                        "(e.g. 4x2: rays over 4 chips x triangles over 2); "
+                        "the TPU-native analog of the reference's CPU-thread "
+                        "pixel fan-out (source/Renderer.cpp:42-92)")
     p.add_argument("--ssaa", type=int, default=1, metavar="N", help="NxN supersampling per pixel")
     p.add_argument("--time", type=float, default=0.0, help="animation start time (seconds)")
     p.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu, tpu)")
@@ -96,6 +101,9 @@ def main(argv=None) -> int:
     if args.ssaa < 1:
         print(f"error: --ssaa must be >= 1 (got {args.ssaa})", file=sys.stderr)
         return 2
+    if args.shard and args.ssaa > 1:
+        print("error: --shard does not compose with --ssaa yet", file=sys.stderr)
+        return 2
     soft_kw = {}
     if args.soft_shadows:
         soft_kw["soft_shadows"] = True
@@ -105,7 +113,23 @@ def main(argv=None) -> int:
                           shadows=not args.no_shadows, **soft_kw)
     spec = scenes.get(args.scene)
     scene = spec.build()
-    render_fn, backend = make_render_fn(args.renderer)
+    if args.shard:
+        import functools as _ft
+
+        from raytpu.parallel import make_mesh, render_image_sharded
+
+        try:
+            px, prim = (int(x) for x in args.shard.lower().split("x"))
+            mesh = make_mesh(px=px, prim=prim)
+        except (ValueError, AssertionError) as e:
+            print(f"error: --shard must be PXxPRIM matching the device count ({e})",
+                  file=sys.stderr)
+            return 2
+        backend = "pallas" if args.renderer in ("auto", "pallas") else "jnp"
+        render_fn = _ft.partial(render_image_sharded, mesh=mesh, backend=backend)
+        backend = f"shard({px}x{prim},{backend})"
+    else:
+        render_fn, backend = make_render_fn(args.renderer)
     if args.ssaa > 1:
         import functools as _ft
 

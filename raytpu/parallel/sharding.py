@@ -73,16 +73,35 @@ def _pad_triangles(tris, multiple):
 # ---------------------------------------------------------------------------
 
 
+def _mega2_fits(scene: Scene) -> bool:
+    """Per-chip shard within the mega2 SMEM/unroll budgets?"""
+    from raytpu.render import pallas_kernel as pk
+    from raytpu.render import pallas_soft as ps
+
+    return (
+        scene.triangles.count <= ps.MAX_TRIS
+        and scene.spheres.count <= pk.MEGA2_MAX_UNROLL
+        and scene.planes.count <= pk.MEGA2_MAX_UNROLL
+    )
+
+
 def _local_closest_hit(scene: Scene, ro, rd, tmin, tri_prio_offset, use_pallas: bool):
     """Closest hit over (all spheres, all planes, THIS shard's triangles),
     plus a global priority id so the merge reproduces the reference's
     iteration-order tie-break (sphere < plane < triangle, low index first).
 
-    ``use_pallas`` routes the per-chip query through the fused VMEM kernels
-    (raytpu.render.pallas_kernel) — the same code path the single-chip
-    flagship runs — instead of the jnp t-matrix ops."""
+    ``use_pallas`` routes the per-chip query through the fused VMEM kernels —
+    the mega2 scalar-broadcast winner search when the shard fits its budgets
+    (the layout that wins, PERF.md round 2), else the chunked fold kernels —
+    the same code paths the single-chip flagship runs."""
     S, Pn = scene.spheres.count, scene.planes.count
-    if use_pallas:
+    if use_pallas and _mega2_fits(scene):
+        from raytpu.render import pallas_soft as ps
+
+        ro_b = jnp.broadcast_to(ro, rd.shape)
+        t, idx = ps.scene_min_t_mega2(scene, ro_b, rd, float(tmin))
+        rec = intersect.assemble_hit_records(scene, ro_b, rd, t, idx)
+    elif use_pallas:
         from raytpu.core import math3d
         from raytpu.render import pallas_kernel as pk
 
@@ -158,9 +177,14 @@ def _shade_rays_sharded(scene: Scene, ro, rd, config: RenderConfig, tri_prio_off
         return jax.lax.pmax(occ_local.astype(jnp.int32), prim_axis) > 0
 
     def any_multi_fn(s, p, dirs, mags, tmin):
-        from raytpu.render import pallas_kernel as pk
+        if _mega2_fits(s):
+            from raytpu.render import pallas_soft as ps
 
-        occ_local = pk.any_hit_lights_pallas(s, p, dirs, mags, tmin)
+            occ_local = ps.any_hit_lights_mega2(s, p, dirs, mags, float(tmin))
+        else:
+            from raytpu.render import pallas_kernel as pk
+
+            occ_local = pk.any_hit_lights_pallas(s, p, dirs, mags, tmin)
         return jax.lax.pmax(occ_local.astype(jnp.int32), prim_axis) > 0
 
     return shade_rays(

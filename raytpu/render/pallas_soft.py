@@ -304,6 +304,159 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
 
 
 # ---------------------------------------------------------------------------
+# Hard (binary) all-lights any-hit in the mega2 layout, for arbitrary shadow
+# origins: the per-chip occlusion query of the SHARDED renderer
+# (raytpu/parallel/sharding.py) — the fused whole-frame mega2 shadow kernel
+# (pallas_kernel._make_mega2_shadow_kernel) covers the single-chip path, but
+# it regenerates camera rays in-kernel; this one takes packed ray tiles.
+# ---------------------------------------------------------------------------
+
+
+def _make_anyhit_kernel(tmin, S, P, Tl, ngl, L, first, culled):
+    def kernel(*refs):
+        sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref = refs[:5]
+        pos = 5
+        px, py, pz = (r[:] for r in refs[pos : pos + 3])
+        pos += 3
+        light_cols = []
+        for _ in range(L):
+            lx, ly, lz, mag = (r[:] for r in refs[pos : pos + 4])
+            pos += 4
+            light_cols.append((lx, ly, lz, mag))
+        occ_in = None
+        if not first:
+            occ_in = refs[pos : pos + L]
+            pos += L
+        out_refs = refs[pos:]
+
+        cnts = [cnt_ref[0, 0, li] for li in range(L)] if Tl else []
+        for li in range(L):
+            lx, ly, lz, mag = light_cols[li]
+            occ = jnp.zeros((8, 128), jnp.float32) if first else occ_in[li][:]
+            if first:
+                for s in range(S):
+                    tc = pk._sphere_t_reg(sph_ref, s, px, py, pz, lx, ly, lz, tmin, mag)
+                    occ = jnp.where(tc < pk.INF, 1.0, occ)
+                for p in range(P):
+                    tc = pk._plane_t_reg(pl_ref, p, px, py, pz, lx, ly, lz, tmin, mag)
+                    occ = jnp.where(tc < pk.INF, 1.0, occ)
+            if Tl:
+                def fold_group(base, occ, lx=lx, ly=ly, lz=lz, mag=mag):
+                    for kk in range(MEGA2_G):
+                        tc = pk._tri_t_reg(tri_ref, base + kk, px, py, pz,
+                                           lx, ly, lz, tmin, mag, shadow=True)
+                        occ = jnp.where(tc < pk.INF, 1.0, occ)
+                    return occ
+
+                if culled:
+                    def body(j, occ, li=li, fold_group=fold_group):
+                        g = wl_ref[0, li, j]
+                        return fold_group(g * MEGA2_G, occ)
+
+                    occ = jax.lax.fori_loop(0, cnts[li], body, occ)
+                else:
+                    for g in range(ngl):
+                        occ = fold_group(g * MEGA2_G, occ)
+            out_refs[li][:] = occ
+
+    return kernel
+
+
+def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin):
+    """(L, R) bool occlusion for all lights, mega2 layout.
+
+    ro (R,3) shadow origins; dirs (L,R,3); mags (L,R) segment lengths.
+    Shadow rays invert triangle front/back culling (reference:
+    source/Utils.h:114-127).  Same budgets as the soft kernels.
+    """
+    from raytpu.ops import accel
+
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    tmin = float(tmin)
+    S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
+    assert T <= MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_blob, pl_blob, tri_blob = _soft_packs(scene)
+    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)
+    ng = tri_blob.shape[0] // MEGA2_G
+    gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
+    NL = max(1, _cdiv(ng, gpl)) if T else 1
+    ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)] if T else [(0, 0)]
+    culled = T >= 2 * MEGA2_G
+
+    if culled:
+        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
+        culls = []
+        for li in range(L):
+            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
+            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+        cullm = jnp.stack(culls, axis=1)  # (nt, L, ng)
+
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+
+    occs = None
+    for k, (ga, gb) in enumerate(ranges):
+        ngl = gb - ga
+        Tl = ngl * MEGA2_G
+        first = k == 0
+        if culled:
+            wl3, cnt2 = [], []
+            for li in range(L):
+                w_, c_ = pk.chunk_worklist(cullm[:, li, ga:gb])
+                wl3.append(w_)
+                cnt2.append(c_)
+            wl_k = jnp.stack(wl3, axis=1)
+            cnt_k = jnp.concatenate(cnt2, axis=1)
+        else:
+            wl_k = jnp.zeros((nt, max(L, 1), max(ngl, 1)), jnp.int32)
+            cnt_k = jnp.full((nt, max(L, 1)), ngl, jnp.int32)
+        kern = _make_anyhit_kernel(
+            tmin, S if first else 0, P if first else 0, Tl, ngl, L, first, culled,
+        )
+        in_specs = [
+            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
+        ] + [vtile] * (3 + 4 * L)
+        ins = [
+            sph_in, pln_in,
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            wl_k, cnt_k[:, None, :],
+        ] + p_tiles + light_tiles
+        aliases = {}
+        if not first:
+            base = len(ins)
+            in_specs += [vtile] * L
+            ins += list(occs)
+            aliases = {base + j: j for j in range(L)}
+        occs = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=in_specs,
+            out_specs=[vtile] * L,
+            out_shape=[acc_shape] * L,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+    return jnp.stack([o.reshape(-1)[:R] for o in occs]) > 0.5
+
+
+# ---------------------------------------------------------------------------
 # Detached winner search: mega2-style (t, index) closest-hit fold for
 # arbitrary rays.  The detached differentiable path only needs WHICH
 # primitive wins per ray (raytpu/grad/fast.py re-derives the payload

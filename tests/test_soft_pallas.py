@@ -122,6 +122,28 @@ def test_mint_kernel_matches_jnp_argmin(name):
 
 
 @pytest.mark.parametrize("name", ["reference", "bunny"])
+def test_anyhit_mega2_matches_jnp(name):
+    """Hard all-lights any-hit (mega2 layout) vs the jnp op, including the
+    shadow-pass cull inversion."""
+    from raytpu.render import pallas_soft
+
+    scene, cfg, p, dirs, mags = _shadow_inputs(name, 64, 48)
+    occ_k = np.asarray(
+        pallas_soft.any_hit_lights_mega2(scene, p, dirs, mags, cfg.ray_min)
+    )
+    occ_j = np.stack(
+        [
+            np.asarray(
+                intersect.any_hit(scene, p, dirs[li], jnp.float32(cfg.ray_min), mags[li])
+            )
+            for li in range(scene.lights.count)
+        ]
+    )
+    # fp reassociation can flip grazing shadow rays on isolated pixels
+    assert (occ_k != occ_j).mean() < 0.002, f"flip fraction {(occ_k != occ_j).mean()}"
+
+
+@pytest.mark.parametrize("name", ["reference", "bunny"])
 def test_dray_kernel_matches_jnp_vjp(name):
     """Hand-written ray-side backward kernel vs jax.vjp of the jnp op."""
     from raytpu.render import pallas_soft
