@@ -28,6 +28,10 @@ import numpy as np
 from raytpu.core.types import Scene, Triangles
 
 CHUNK = 128  # triangles per cull chunk == Pallas lane count
+SAH_LEAF = 8  # builder leaf size == the mega2 cull-group size: every G=8
+#             group IS a SAH box (leaf=64 slices straddle boxes).  Measured
+#             (v5e, same-window, floor-adjusted): bunny fwd -15%, optional
+#             -9% vs leaf=64 (probes/probe_leaf_tpu.py, probe_leaforder.py)
 
 
 def spatial_permutation(tri_verts: np.ndarray) -> np.ndarray:
@@ -41,7 +45,7 @@ def spatial_permutation(tri_verts: np.ndarray) -> np.ndarray:
         from raytpu.native import runtime as rt
 
         if rt.available():
-            _, _, order = rt.build_bvh(tri_verts, leaf_size=CHUNK // 2, bins=8)
+            _, _, order = rt.build_bvh(tri_verts, leaf_size=SAH_LEAF, bins=8)
             return order
     except Exception:
         pass
