@@ -32,6 +32,10 @@ from raytpu.render.renderer import render_image_f32
 #: triangle count past which the differentiable path rides the Pallas kernels
 KERNEL_MIN_TRIS = 256
 
+#: feed the soft kernels rays in mega2 32x32-pixel-block order (tight
+#: per-1024-ray cull cones); module-level escape hatch for A/B probes
+TILE_KERNEL_RAYS = True
+
 
 def _pallas_min_t(scene, ro, rd, tmin):
     """Chunk-culled Pallas winner search for the detached closest hit
@@ -91,12 +95,27 @@ def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
     cfg = dataclasses.replace(config, soft_shadows=True)
     closest_fn, soft_multi_fn = soft_backends(scene, cfg, detached, kernels)
     ro, rd = renderer.generate_rays(scene.camera, cfg)
+    # tile order for the kernel path: 32x32 pixel blocks give the culled
+    # kernels tight per-1024-ray direction cones (and spatially compact
+    # shadow origins), like the whole-frame mega2 renderer; a pure
+    # reshape/transpose, inverted after shading
+    tiled = (
+        TILE_KERNEL_RAYS
+        and soft_multi_fn is not None
+        and cfg.height % 32 == 0 and cfg.width % 32 == 0
+    )
+    if tiled:
+        from raytpu.render import pallas_kernel as pk
+
+        rd = pk._mega2_fold(rd, cfg.height, cfg.width)
     colors = renderer.render_pixels_f32(
         scene, ro, rd, cfg,
         closest_fn=closest_fn,
         remat=True,
         soft_multi_fn=soft_multi_fn,
     )
+    if tiled:
+        colors = pk._mega2_unfold_rows(colors, cfg.height, cfg.width)
     return colors.reshape(cfg.height, cfg.width, 3)
 
 

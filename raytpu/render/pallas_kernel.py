@@ -1360,6 +1360,17 @@ def _mega2_fold(x, h, w):
     )
 
 
+def _mega2_unfold_rows(x, h, w):
+    """Inverse of ``_mega2_fold`` for row-major (H*W, C) arrays (pure
+    reshape/transpose — no gather)."""
+    c = x.shape[-1]
+    return (
+        x.reshape(h // 32, w // 32, 8, 4, 32, c)
+        .transpose(0, 2, 3, 1, 4, 5)
+        .reshape(h * w, c)
+    )
+
+
 def _mega2_unfold_colors(cols3, h, w, tiled, R):
     """(3, rows_pad, 128) kernel output -> (H, W, 3) image."""
     if tiled:

@@ -248,3 +248,27 @@ def test_render_soft_kernels_grads_close():
     gl_k = np.asarray(jax.grad(lambda x: light_loss(x, True))(scene.lights.position))
     np.testing.assert_allclose(gl_k, gl_j, rtol=2e-2, atol=1e-6)
     assert np.isfinite(gl_k).all() and np.abs(gl_k).sum() > 0
+
+
+def test_render_soft_kernels_tiled_image_close():
+    """32-divisible resolutions take the mega2 tile-order fold inside
+    render_soft_f32 (tight per-1024-ray cull cones); the unfold must restore
+    row-major pixel order exactly, so kernels on/off still match up to
+    isolated winner flips."""
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    img_j = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=False))
+    img_k = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=True))
+    diff = np.abs(img_j - img_k).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.01, f"flip fraction {(diff > 1e-3).mean()}"
+    assert np.median(diff) < 1e-5
+
+    def loss(v0, k):
+        tr = dataclasses.replace(scene.triangles, v0=v0)
+        s = dataclasses.replace(scene, triangles=tr)
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=k))
+
+    g_j = np.asarray(jax.grad(lambda v: loss(v, False))(scene.triangles.v0))
+    g_k = np.asarray(jax.grad(lambda v: loss(v, True))(scene.triangles.v0))
+    scale = max(np.abs(g_j).max(), 1e-8)
+    np.testing.assert_allclose(g_k / scale, g_j / scale, atol=2e-3)
