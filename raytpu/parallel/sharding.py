@@ -209,6 +209,15 @@ def render_pixels_shard_map(scene: Scene, config: RenderConfig, mesh: Mesh,
 
     ro, rd = generate_rays(scene.camera, config)
     num_rays = rd.shape[0]
+    # kernel path: feed rays in mega2 32x32-pixel-block order so each chip's
+    # per-1024-ray cull tiles get tight direction cones instead of 1.6
+    # scanlines (pure permutation; inverted below — same win as the
+    # single-chip differentiable path, PERF.md round 2)
+    tiled = use_pallas and config.height % 32 == 0 and config.width % 32 == 0
+    if tiled:
+        from raytpu.render import pallas_kernel as pk
+
+        rd = pk._mega2_fold(rd, config.height, config.width)
     rd = _pad_rows(rd, n_px, value=1.0)
 
     tris = _pad_triangles(scene.triangles, max(n_prim, 1)) if scene.triangles.count else scene.triangles
@@ -232,6 +241,10 @@ def render_pixels_shard_map(scene: Scene, config: RenderConfig, mesh: Mesh,
         return colors
 
     colors = kernel(scene_rest, tris, rd)[:num_rays]
+    if tiled:
+        from raytpu.render import pallas_kernel as pk
+
+        colors = pk._mega2_unfold_rows(colors, config.height, config.width)
     return colors.reshape(config.height, config.width, 3)
 
 

@@ -71,11 +71,26 @@ def make_sharded_train_step(config: RenderConfig, optimizer, param_fn, merge_fn,
     # raytpu.grad.diff_render.make_train_step)
     @jax.jit
     def step(params, opt_state, scene, target):
+        from raytpu.grad import diff_render
+
         ro, rd = generate_rays(scene.camera, soft_cfg)
         num_rays = rd.shape[0]
+        tgt = target.reshape(-1, 3)
+        # kernel path: rays (and target rows, same permutation) in mega2
+        # 32x32-pixel-block order for tight per-1024-ray cull cones inside
+        # each shard (loss is a masked sum — permutation-invariant)
+        _, soft_multi_fn = diff_render.soft_backends(scene, soft_cfg)
+        if (
+            diff_render.TILE_KERNEL_RAYS
+            and soft_multi_fn is not None
+            and soft_cfg.height % 32 == 0 and soft_cfg.width % 32 == 0
+        ):
+            from raytpu.render import pallas_kernel as pk
+
+            rd = pk._mega2_fold(rd, soft_cfg.height, soft_cfg.width)
+            tgt = pk._mega2_fold(tgt, soft_cfg.height, soft_cfg.width)
         pad = (-num_rays) % n_px
         rd_p = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-        tgt = target.reshape(-1, 3)
         tgt_p = jnp.pad(tgt, ((0, pad), (0, 0)))
 
         params_spec = jax.tree_util.tree_map(lambda _: P(), params)

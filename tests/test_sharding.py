@@ -93,3 +93,51 @@ def test_scaling_harness_runs():
     assert [r["devices"] for r in rows] == [1, 2, 4, 8]
     assert all(r["primary_rays_per_s"] > 0 for r in rows)
     assert rows[0]["efficiency"] == 1.0
+
+
+def test_sharded_render_tiled_bit_identical(single_device_image):
+    """32-divisible resolutions fold rays into mega2 tile order before
+    shard_map; the unfold must restore row-major order exactly."""
+    bunny = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    from raytpu.render import render_image
+
+    ref = np.asarray(render_image(bunny, cfg))
+    mesh = make_mesh(px=2, prim=4)
+    img = np.asarray(render_image_sharded(bunny, cfg, mesh))
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_sharded_train_step_tiled_kernels_matches(monkeypatch):
+    """Sharded step with the Pallas soft kernels forced (interpret mode) and
+    a 32-divisible resolution — exercises the mega2 ray/target fold inside
+    the step — must match the single-device kernel step."""
+    bunny = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    orig = diff_render.soft_backends
+    monkeypatch.setattr(
+        diff_render, "soft_backends",
+        lambda s, c, detached=True, kernels=None: orig(s, c, detached, True),
+    )
+    target = jnp.zeros((32, 64, 3), jnp.float32)
+    opt = optax.sgd(1e-2)
+    params0 = diff_render.material_params(bunny)
+
+    step1 = diff_render.make_train_step(
+        cfg, opt, diff_render.material_params, diff_render.merge_material_params
+    )
+    p1, _, loss1 = step1(
+        jax.tree_util.tree_map(jnp.copy, params0), opt.init(params0), bunny, target
+    )
+
+    mesh = make_mesh(px=8, prim=1)
+    step8 = make_sharded_train_step(
+        cfg, opt, diff_render.material_params, diff_render.merge_material_params, mesh
+    )
+    p8, _, loss8 = step8(
+        jax.tree_util.tree_map(jnp.copy, params0), opt.init(params0), bunny, target
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
