@@ -38,21 +38,9 @@ from raytpu.ops import intersect, soa
 from raytpu.ops.intersect import FLT_EPSILON, INF, HitRecords
 
 
-def _gather_cols(table, li, mask, use_onehot):
-    """Differentiable ``table[li].T`` — a (K, R) components-major gather with
-    columns zeroed where ``~mask``.
-
-    ``use_onehot``: dispatch via a detached one-hot matmul (MXU-friendly
-    VJP — the gradient to ``table`` is a matmul, not a TPU scatter-add).
-    The (K, N) @ (N, R) orientation keeps every operand's minor dim wide
-    (a materialized (R, K) array pads K up to 128 lanes — 10-40x bandwidth).
-    """
-    if not use_onehot:
-        return jnp.where(mask[None, :], table[li].T, 0.0)
-    oh = ((jnp.arange(table.shape[0])[:, None] == li[None, :]) & mask[None, :]).astype(
-        table.dtype
-    )
-    return table.T @ jax.lax.stop_gradient(oh)
+# gather of a detached winner's table row: one-hot / grouped-one-hot matmuls
+# (MXU-friendly VJP); see raytpu.ops.soa.gather_cols
+_gather_cols = soa.gather_cols
 
 
 def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096,
@@ -83,8 +71,8 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096,
 
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
     R = rd.shape[0]
-    # the (R, count) one-hot must also fit comfortably in HBM next to the
-    # t-matrix: past ~32M elements fall back to indexed gathers
+    # cap the one-hot's HBM footprint next to the t-matrix: classes past the
+    # cap gather through the grouped two-level one-hot (soa.gather_cols)
     onehot_max = min(onehot_max, max(1, (1 << 25) // max(R, 1)))
     t = jnp.full((R,), INF, rd.dtype)
     n_c = (jnp.zeros((R,), rd.dtype),) * 3
@@ -103,7 +91,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096,
                 ],
                 axis=1,
             ),
-            si, in_s, S <= onehot_max,
+            si, in_s, onehot_max,
         )
         c_sph, r = (cr[0], cr[1], cr[2]), cr[3]
         L = soa.sub(c_sph, ro_c)
@@ -129,7 +117,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096,
                 ],
                 axis=1,
             ),
-            pi, in_p, P <= onehot_max,
+            pi, in_p, onehot_max,
         )
         n_p, o_p = (no[0], no[1], no[2]), (no[3], no[4], no[5])
         denom = soa.dot(rd_c, n_p)
@@ -148,7 +136,7 @@ def detached_closest_hit(scene, ro, rd, tmin, onehot_max: int = 4096,
                 [tr.v0, tr.v1, tr.v2, tr.normal, tr.material[:, None].astype(rd.dtype)],
                 axis=1,
             ),
-            ti, in_t, T <= onehot_max,
+            ti, in_t, onehot_max,
         )
         v0, n_t = (rows[0], rows[1], rows[2]), (rows[9], rows[10], rows[11])
         e1 = soa.sub((rows[3], rows[4], rows[5]), v0)

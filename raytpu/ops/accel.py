@@ -194,6 +194,32 @@ def cull_matrix(rb, chunk_lo, chunk_hi, tmin):
     return (slab_ok & seg_ok).astype(jnp.float32)
 
 
+def shadow_cull_matrix(ro, ld, mag, light_pos, is_point, lo, hi, tmin,
+                       tile: int = 1024):
+    """Per-(tile, group) cull for the shadow rays toward ONE light.
+
+    Combines the forward slab/segment test on the actual rays with — for
+    point lights — a **light-anchored reversed slab test**: every shadow
+    segment ends at the light, an exact point, so the interval slab on the
+    reversed rays {light -> origin box, t in [0, 1]} carries no origin-box
+    slack and is much tighter than the forward test, whose origin interval
+    and direction interval decorrelate (measured, probes/probe_conecull.py:
+    shadow group pass rate bunny 39.8 -> 29.6%, optional 31.1 -> 21.0%;
+    a cone-vs-sphere test added almost nothing on top).  Both tests are
+    conservative; the reversed one is skipped (all-pass) for directional
+    lights, whose forward direction interval is already a single vector.
+    """
+    rb = ray_tile_bounds(ro, ld, mag, tile=tile)
+    cull = cull_matrix(rb, lo, hi, tmin)
+    rd_rev = ro - light_pos[None, :]
+    rb_rev = ray_tile_bounds(
+        jnp.broadcast_to(light_pos, ro.shape), rd_rev,
+        jnp.ones_like(jnp.broadcast_to(mag, (ro.shape[0],))), tile=tile,
+    )
+    rev = cull_matrix(rb_rev, lo, hi, 0.0)
+    return cull * jnp.where(is_point, rev, jnp.ones_like(rev))
+
+
 def ray_tile_bounds(ro, rd, tmax, tile: int = 128):
     """Per-ray-tile conservative bounds (nr, 21):
     [omin3, omax3, dmin3, dmax3, tmax_max, seg_valid, emin3, emax3]

@@ -223,8 +223,9 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
     operand nor result has a narrow minor dim (TPU pads the minor dim to 128
     lanes: a materialized (R, 4) costs 32x its data; this orientation took
     the assemble stage from ~3.3 ms to ~0.1 ms at 640x480, PERF.md round 2).
-    Scenes past ``_ONEHOT_MAX_ELEMS`` one-hot elements keep the
-    indexed-gather form (they render through the Pallas kernels anyway).
+    Scenes whose (C, R) one-hot would exceed ``_ONEHOT_MAX_ELEMS`` gather
+    through the grouped two-level one-hot instead (``soa.gather_cols``) —
+    ~G x less HBM traffic, still all matmuls.
     """
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
@@ -236,7 +237,7 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
     T = scene.triangles.count
     C = S + P + T
 
-    if C and C * t.shape[0] <= _ONEHOT_MAX_ELEMS:
+    if C:
         rows = []
         if S:  # sphere rows carry the CENTER (normal derived below)
             rows.append(
@@ -258,8 +259,10 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
                 jnp.concatenate([tr.normal, tr.material[:, None].astype(t.dtype)], axis=1)
             )
         table = jnp.concatenate(rows, axis=0)  # (C, 4)
-        oh = (jnp.arange(C)[:, None] == idx[None, :]) & hit[None, :]
-        out = table.T @ jax.lax.stop_gradient(oh.astype(t.dtype))  # (4, R)
+        # single one-hot within the HBM cap; grouped two-level beyond it
+        out = soa.gather_cols(
+            table, idx, hit, max(1, _ONEHOT_MAX_ELEMS // max(t.shape[0], 1))
+        )  # (4, R)
         v_c = (out[0], out[1], out[2])  # center (spheres) or normal (planes/tris)
         # material ids are small ints: exact through the f32 contraction
         material = jnp.round(out[3]).astype(jnp.int32)
@@ -276,27 +279,10 @@ def assemble_hit_records(scene: Scene, ro, rd, t, idx) -> HitRecords:
             normal=soa.pack(*n_c), material=material,
         )
 
-    normal = jnp.zeros_like(point)
-    material = jnp.zeros(t.shape[0], jnp.int32)
-    if S:
-        si = jnp.clip(idx, 0, S - 1)
-        c = scene.spheres.center[si]
-        # normal normalized after selection (reference: source/Scene.cpp:40)
-        n_s = math3d.normalize_safe(point - c)
-        in_s = idx < S
-        normal = jnp.where(in_s[:, None], n_s, normal)
-        material = jnp.where(in_s, scene.spheres.material[si], material)
-    if P:
-        pi = jnp.clip(idx - S, 0, P - 1)
-        in_p = (idx >= S) & (idx < S + P)
-        normal = jnp.where(in_p[:, None], scene.planes.normal[pi], normal)
-        material = jnp.where(in_p, scene.planes.material[pi], material)
-    if T:
-        ti = jnp.clip(idx - S - P, 0, T - 1)
-        in_t = idx >= S + P
-        normal = jnp.where(in_t[:, None], scene.triangles.normal[ti], normal)
-        material = jnp.where(in_t, scene.triangles.material[ti], material)
-    return HitRecords(hit=hit, t=jnp.where(hit, t, INF), point=point, normal=normal, material=material)
+    return HitRecords(
+        hit=hit, t=jnp.where(hit, t, INF), point=point,
+        normal=jnp.zeros_like(point), material=jnp.zeros(t.shape[0], jnp.int32),
+    )
 
 
 def soft_transmittance(scene: Scene, ro, rd, tmin, tmax, beta):

@@ -20,6 +20,7 @@ path, replacing the reference's per-pixel scalar Vector3 math
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -89,3 +90,44 @@ def rows(table):
     """(N, 3) table -> ((N, 1), (N, 1), (N, 1)) column tuple, ready to
     broadcast against (R,) ray components into (N, R) matrices."""
     return table[:, 0:1], table[:, 1:2], table[:, 2:3]
+
+
+def gather_cols(table, li, mask, onehot_max: int = 4096):
+    """Differentiable ``table[li].T`` — a (K, R) components-major gather with
+    columns zeroed where ``~mask``.  ``li`` is detached (winner indices);
+    gradients flow to ``table``.
+
+    TPU dynamic row gathers are scalar-slow and their VJP is a serialized
+    scatter-add, so the gather is expressed as detached one-hot matmuls
+    (the VJP is the transposed matmul, on the MXU):
+
+      * ``N <= onehot_max``: one (K, N) @ (N, R) contraction.
+      * larger N: TWO-LEVEL grouped one-hot — rows are grouped G at a time
+        (G = ceil(N / onehot_max), min 8), a (G*K, H) @ (H, R) contraction
+        gathers the winner's whole G-row group, and a detached (G, R) slot
+        one-hot selects within it.  HBM traffic is ~G x less than the full
+        one-hot (whose (N, R) matrix is what made big-T scenes fall back to
+        indexed gathers — measured ~6 ms of the optional scene's 11 ms
+        soft forward at 640x480, PERF.md round 2).
+    """
+    N, K = table.shape
+    sg = jax.lax.stop_gradient
+    if N <= onehot_max:
+        oh = ((jnp.arange(N)[:, None] == li[None, :]) & mask[None, :]).astype(
+            table.dtype
+        )
+        return table.T @ sg(oh)
+    G = max(8, -(-N // onehot_max))
+    H = -(-N // G)
+    tbl = jnp.pad(table, ((0, H * G - N), (0, 0)))
+    hi = li // G
+    lo = li - hi * G
+    oh_hi = ((jnp.arange(H)[:, None] == hi[None, :]) & mask[None, :]).astype(
+        table.dtype
+    )
+    # (H, G*K).T @ (H, R): the winner's whole group, components-major
+    big = tbl.reshape(H, G * K).T @ sg(oh_hi)  # (G*K, R)
+    oh_lo = ((jnp.arange(G)[:, None] == lo[None, :]) & mask[None, :]).astype(
+        table.dtype
+    )
+    return jnp.einsum("gkr,gr->kr", big.reshape(G, K, -1), sg(oh_lo))

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytpu.core import math3d
-from raytpu.core.types import RenderConfig, Scene
+from raytpu.core.types import LightKind, RenderConfig, Scene
 from raytpu.ops import intersect
 from raytpu.render import renderer as _renderer
 
@@ -415,9 +415,10 @@ def any_hit_lights_pallas(scene: Scene, ro, dirs, mags, tmin):
         wls, cnts = [], []
         lo, hi = accel.chunk_bounds(scene.triangles, CT)
         for li in range(L):
-            rays_li = pack_rays(ro, dirs[li], mags[li])
-            rb = accel.ray_tile_bounds(rays_li[:, 0:3], rays_li[:, 3:6], rays_li[:, 6], tile=RT)
-            w, c = chunk_worklist(accel.cull_matrix(rb, lo, hi, tmin))
+            is_pt = scene.lights.kind[li] == LightKind.POINT
+            w, c = chunk_worklist(accel.shadow_cull_matrix(
+                ro, dirs[li], mags[li], scene.lights.position[li], is_pt,
+                lo, hi, tmin, tile=RT))
             wls.append(w)
             cnts.append(c)
         wl = jnp.stack(wls, axis=1)  # (nr, L, nc)
@@ -603,10 +604,11 @@ def shadow_shade_pallas(scene: Scene, rec: intersect.HitRecords, rd, config: Ren
     if culled:
         wls, cnts = [], []
         lo, hi = accel.chunk_bounds(scene.triangles, CT)
-        for l, m in lds:
-            rays_li = pack_rays(p_off, l, m)
-            rb = accel.ray_tile_bounds(rays_li[:, 0:3], rays_li[:, 3:6], rays_li[:, 6], tile=RT)
-            w, c = chunk_worklist(accel.cull_matrix(rb, lo, hi, tmin))
+        for li, (l, m) in enumerate(lds):
+            is_pt = scene.lights.kind[li] == LightKind.POINT
+            w, c = chunk_worklist(accel.shadow_cull_matrix(
+                p_off, l, m, scene.lights.position[li], is_pt,
+                lo, hi, tmin, tile=RT))
             wls.append(w)
             cnts.append(c)
         wl = jnp.stack(wls, axis=1)  # (nr, L, nc)
@@ -1495,8 +1497,10 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
             ld, mag = _shading.direction_to_light(scene.lights, li_i, p_off)
             # a missed ray needs no shadow test: zero-length segment
             mag = jnp.where(hit_f, mag, 0.0)
-            rb_l = accel.ray_tile_bounds(p_off, ld, mag, tile=1024)
-            wls.append(accel.cull_matrix(rb_l, glo, ghi, tmin))
+            is_pt = scene.lights.kind[li_i] == LightKind.POINT
+            wls.append(accel.shadow_cull_matrix(
+                p_off, ld, mag, scene.lights.position[li_i], is_pt,
+                glo, ghi, tmin))
         sh_cull = jnp.stack(wls, axis=1)  # (nt, L, ng)
 
     # ---- shadow + shade chain ----

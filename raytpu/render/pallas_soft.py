@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytpu.core.types import Scene
+from raytpu.core.types import LightKind, Scene
 from raytpu.render import pallas_kernel as pk
 from raytpu.render.pallas_kernel import FLT_EPSILON, MEGA2_G, _cdiv, _pad_axis
 
@@ -237,8 +237,10 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
         ghi = ghi + slack[:, None]
         culls = []
         for li in range(L):
-            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
-            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+            is_pt = scene.lights.kind[li] == LightKind.POINT
+            culls.append(accel.shadow_cull_matrix(
+                ro, dirs[li], mags[li], scene.lights.position[li], is_pt,
+                glo, ghi, tmin))
         cullm = jnp.stack(culls, axis=1)  # (nt, L, ng)
 
     # ray/light data as (rows_pad, 128) vtiles (padded rays gate off: d=0)
@@ -392,8 +394,10 @@ def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin):
         glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
         culls = []
         for li in range(L):
-            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
-            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+            is_pt = scene.lights.kind[li] == LightKind.POINT
+            culls.append(accel.shadow_cull_matrix(
+                ro, dirs[li], mags[li], scene.lights.position[li], is_pt,
+                glo, ghi, tmin))
         cullm = jnp.stack(culls, axis=1)  # (nt, L, ng)
 
     p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
@@ -886,8 +890,10 @@ def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
         ghi = ghi + slack[:, None]
         culls = []
         for li in range(L):
-            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
-            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+            is_pt = scene.lights.kind[li] == LightKind.POINT
+            culls.append(accel.shadow_cull_matrix(
+                ro, dirs[li], mags[li], scene.lights.position[li], is_pt,
+                glo, ghi, tmin))
         cullm = jnp.stack(culls, axis=1)
 
     p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
@@ -1134,8 +1140,10 @@ def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
         ghi = ghi + slack[:, None]
         culls = []
         for li in range(L):
-            rb = accel.ray_tile_bounds(ro, dirs[li], mags[li], tile=1024)
-            culls.append(accel.cull_matrix(rb, glo, ghi, tmin))
+            is_pt = scene.lights.kind[li] == LightKind.POINT
+            culls.append(accel.shadow_cull_matrix(
+                ro, dirs[li], mags[li], scene.lights.position[li], is_pt,
+                glo, ghi, tmin))
         cullm = jnp.stack(culls, axis=1)
 
     p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]

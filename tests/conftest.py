@@ -20,3 +20,13 @@ def small_config():
     from raytpu.core.types import RenderConfig
 
     return RenderConfig(width=64, height=48)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound compile-cache/RSS growth across the 13 test modules: a full-suite
+    run once segfaulted inside XLA:CPU's compiler near the end of the suite
+    (flaky, not reproducible standalone) — keep per-module jit caches from
+    accumulating."""
+    yield
+    jax.clear_caches()

@@ -120,3 +120,47 @@ def test_fast_grads_are_finite(scene):
     for leaf in jax.tree_util.tree_leaves(grads):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             assert jnp.all(jnp.isfinite(leaf)), "non-finite gradient leaf"
+
+
+def test_gather_cols_grouped_matches_single_onehot():
+    """soa.gather_cols: the two-level grouped one-hot (big-N path) must equal
+    the single one-hot gather in value AND table-gradient."""
+    from raytpu.ops import soa
+
+    rng = np.random.default_rng(0)
+    N, K, R = 50, 5, 37
+    table = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    li = jnp.asarray(rng.integers(0, N, R), jnp.int32)
+    mask = jnp.asarray(rng.random(R) > 0.3)
+    g = jnp.asarray(rng.standard_normal((K, R)), jnp.float32)
+
+    def run(onehot_max):
+        def f(t):
+            return jnp.sum(soa.gather_cols(t, li, mask, onehot_max) * g)
+        return f(table), jax.grad(f)(table)
+
+    v1, g1 = run(4096)   # single one-hot
+    v2, g2 = run(7)      # grouped: G = ceil(50/7) = 8, H = 7
+    v3, g3 = run(3)      # grouped with larger G = 17
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(float(v1), float(v3), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g3), rtol=1e-5, atol=1e-7)
+
+
+def test_detached_hit_grouped_gather_matches(scene):
+    """Force the grouped-gather path inside detached_closest_hit (small
+    onehot_max) — hit records must be unchanged."""
+    from raytpu.render.renderer import generate_rays
+
+    ro, rd = generate_rays(scene.camera, CFG)
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    a = detached_closest_hit(scene, ro_b, rd, CFG.ray_min)
+    b = detached_closest_hit(scene, ro_b, rd, CFG.ray_min, onehot_max=2)
+    hit = np.asarray(a.hit)
+    np.testing.assert_array_equal(hit, np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.material)[hit], np.asarray(b.material)[hit])
+    np.testing.assert_allclose(np.asarray(a.t)[hit], np.asarray(b.t)[hit], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.normal)[hit], np.asarray(b.normal)[hit], rtol=1e-5, atol=1e-6
+    )
