@@ -1,6 +1,8 @@
 """Probe (TPU): stage split of the big-mesh differentiable soft forward —
 detached winner search vs the soft transmittance kernels vs the rest
 (payload assembly + shading in XLA).  Tiled ray order, same window."""
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time, functools
 import jax, jax.numpy as jnp
 from raytpu.core import scenes
@@ -47,6 +49,10 @@ for name in ("bunny", "optional"):
     dirs = jnp.stack([l for l, _ in lds])
     mags = jnp.stack([m for _, m in lds])
     p_, dirs_, mags_ = jax.block_until_ready((p, dirs, mags))
+
+    timeit(f"{name}: payload assembly (assemble_hit_records)",
+           lambda s=scene, o=ro_b, r=rd, tt=t, ii=idx: jnp.sum(
+               intersect.assemble_hit_records(s, o, r, tt, ii).normal))
 
     timeit(f"{name}: soft kernels (all lights)",
            lambda s=scene, a=p_, b=dirs_, c=mags_: jnp.sum(
