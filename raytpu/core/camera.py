@@ -9,7 +9,8 @@ same control scheme and constants:
     (linear speed 4 m/s, reference: source/Camera.h:72,79)
   * mouse LMB drag: move forward/back by dy, yaw by dx
   * mouse RMB drag: pitch by -dy, yaw by dx (rotation speed 15, :73)
-  * LMB+RMB drag: elevate along world Y by dy
+  * LMB+RMB drag: elevate along world Y by dy AND yaw by dx (yaw fires
+    whenever either button is held, reference: source/Camera.h:101-102)
   * forward vector from pitch/yaw: ``Rx(pitch)@Ry(yaw)`` applied to UnitZ
     (reference: source/Camera.h:61-66)
 """
@@ -88,9 +89,12 @@ class FlyCamera:
                 origin = origin + np.array([0.0, 1.0, 0.0]) * speed * inp.mouse_dy
             elif inp.lmb:
                 origin = origin + fwd * speed * inp.mouse_dy
-                yaw += inp.mouse_dx * math3d.TO_RADIANS * rot_mod
             elif inp.rmb:
                 pitch -= inp.mouse_dy * math3d.TO_RADIANS * rot_mod
+            # yaw whenever LMB or RMB is held — including both-buttons drags
+            # (reference: source/Camera.h:101-102 masks yaw with
+            #  `mouseState & LMASK || mouseState & RMASK`)
+            if inp.lmb or inp.rmb:
                 yaw += inp.mouse_dx * math3d.TO_RADIANS * rot_mod
         return dataclasses.replace(
             self, origin=tuple(float(x) for x in origin), pitch=float(pitch), yaw=float(yaw)

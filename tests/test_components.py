@@ -42,6 +42,17 @@ def test_fly_camera_rmb_pitch_yaw():
     assert abs(float(np.linalg.norm(np.asarray(cam.forward))) - 1.0) < 1e-5
 
 
+def test_fly_camera_both_buttons_elevates_and_yaws():
+    # reference: source/Camera.h:99-102 — on an LMB+RMB drag, dy elevates
+    # along world Y and dx STILL yaws (yaw is masked by LMB|RMB, not an
+    # exclusive state); pitch must not change.
+    fly = FlyCamera(origin=(0, 0, 0))
+    fly2 = fly.update(CameraInput(mouse_dx=10, mouse_dy=5, lmb=True, rmb=True), dt=0.1)
+    assert fly2.origin[1] > 0 and fly2.origin[0] == 0 and fly2.origin[2] == 0
+    assert fly2.yaw > 0
+    assert fly2.pitch == 0
+
+
 # -- image IO ----------------------------------------------------------------
 
 
