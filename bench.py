@@ -1,11 +1,24 @@
-"""Benchmark: primary rays/s on the full reference scene at 640x480.
+"""Driver benchmark: one JSON line covering every round-2+ kernel family.
 
-Renders K animated frames per device dispatch (lax.scan over the mesh-yaw
-animation, mirroring the reference's F6 benchmark of the animating
-Scene_W4_ReferenceScene) so per-dispatch host<->device latency is amortized.
+Default (no flags) runs an ORCHESTRATOR: each phase executes in its own
+subprocess — its own tunnel connection — under a timeout with one retry,
+because the axon remote-compile service stalls intermittently and has
+multi-minute bad windows (CLAUDE.md).  The headline phase (reference-scene
+forward) runs in TWO subprocesses (two reconnect windows) and takes the best,
+so a single bad window cannot under-report the record.
+
+Phases:
+  forward reference 640x480   — whole-frame megakernel (headline metric)
+  forward bunny     640x480   — mega2 SMEM-worklist kernels (297 tris)
+  forward optional  640x480   — mega2 kernels (3,087 tris)
+  grad    optional  640x480   — soft-shadow custom-VJP fwd+bwd train steps
 
 Prints ONE JSON line:
-  {"metric": "primary_rays_per_s", "value": N, "unit": "rays/s", "vs_baseline": N}
+  {"metric": "primary_rays_per_s", "value": N, "unit": "rays/s",
+   "vs_baseline": N, "extras": {...per-phase ms + rays/s...}}
+
+Explicit-flag invocations (e.g. ``bench.py --scene bunny --frames 16``) run a
+single phase in-process, exactly like the round-1/2 bench (probes rely on it).
 
 Baseline: the reference's committed benchmark.txt average of 11.0285 FPS at
 640x480 => 3.388e6 primary rays/s (BASELINE.md).
@@ -16,60 +29,52 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_PRIMARY_RAYS_PER_S = 11.0285 * 640 * 480  # reference benchmark.txt avg
+BASELINE_FRAME_MS = 1000.0 / 11.0285
+
+# (kind, scene, size, frames, repeats) per orchestrated phase; the reference
+# forward phase is listed twice to spread it over two tunnel reconnects.
+ORCH_PHASES = [
+    ("forward", "reference", "640x480", 64, 3),
+    ("forward", "reference", "640x480", 64, 3),
+    ("forward", "bunny", "640x480", 16, 3),
+    ("forward", "optional", "640x480", 16, 3),
+    ("grad", "optional", "640x480", 8, 2),
+]
 
 
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--scene", default="reference")
-    p.add_argument("--size", default="640x480")
-    p.add_argument("--frames", type=int, default=64, help="frames per timed dispatch")
-    p.add_argument("--repeats", type=int, default=3, help="timed dispatches (best taken)")
-    p.add_argument("--platform", default=None)
-    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
-    p.add_argument("--grad", action="store_true",
-                   help="benchmark fwd+bwd (soft-shadow inverse-rendering steps) instead of forward")
-    p.add_argument("--stages", action="store_true",
-                   help="print a per-stage (raygen/closest/shadow/shade) ms breakdown to stderr")
-    p.add_argument("--trace", metavar="DIR", default=None,
-                   help="capture a jax.profiler trace of one timed dispatch into DIR")
-    args = p.parse_args(argv)
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+def phase_forward(scene_name, size, frames, repeats, backend="auto", platform=None,
+                  stages=False, trace=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     from raytpu.core import scenes
     from raytpu.core.types import RenderConfig
 
-    try:
-        w, h = (int(x) for x in args.size.lower().split("x"))
-        assert w > 0 and h > 0
-    except (ValueError, AssertionError):
-        print(f"error: --size must be WxH (got {args.size!r})", file=sys.stderr)
-        return 2
+    w, h = (int(x) for x in size.lower().split("x"))
     num_rays = w * h
     # single-chunk rendering: the whole ray grid in one batch (no lax.map)
     config = RenderConfig(width=w, height=h, ray_chunk=num_rays)
-    scene = scenes.get(args.scene).build()
-
-    if args.grad:
-        return bench_grad(args, scene, config, num_rays)
+    scene = scenes.get(scene_name).build()
 
     render_fn = None
-    backend = "jnp"
-    if args.backend in ("auto", "pallas"):
+    used = "jnp"
+    if backend in ("auto", "pallas"):
         try:
             from raytpu.render.pallas_kernel import render_image_f32 as render_fn  # noqa: F811
 
-            backend = "pallas"
+            used = "pallas"
         except Exception:
-            if args.backend == "pallas":
+            if backend == "pallas":
                 raise
             render_fn = None
     if render_fn is None:
@@ -86,57 +91,61 @@ def main(argv=None) -> int:
         total, _ = jax.lax.scan(body, jnp.float32(0.0), ts)
         return total
 
-    print(f"bench: scene={args.scene} {w}x{h} frames/dispatch={args.frames} backend={backend} "
+    print(f"bench: scene={scene_name} {w}x{h} frames/dispatch={frames} backend={used} "
           f"device={jax.devices()[0]}", file=sys.stderr)
 
     # NOTE: fetch the scalar to host — on tunneled backends block_until_ready
     # can return before remote execution finishes; a value fetch cannot.
     t0 = time.perf_counter()
-    float(bench_n_frames(scene, args.frames))
+    float(bench_n_frames(scene, frames))
     print(f"compile+first dispatch: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     best = float("inf")
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        float(bench_n_frames(scene, args.frames))
+        float(bench_n_frames(scene, frames))
         best = min(best, time.perf_counter() - t0)
 
-    if args.trace:
-        from raytpu.utils.profiling import trace
+    if trace:
+        from raytpu.utils.profiling import trace as profile_trace
 
-        with trace(args.trace):
-            float(bench_n_frames(scene, args.frames))
-        print(f"profiler trace written to {args.trace}", file=sys.stderr)
+        with profile_trace(trace):
+            float(bench_n_frames(scene, frames))
+        print(f"profiler trace written to {trace}", file=sys.stderr)
 
-    if args.stages:
+    if stages:
         from raytpu.utils.stage_profile import format_report, profile_stages
 
-        spec = scenes.get(args.scene)
-        report = profile_stages(spec, scene, config, pallas=(backend == "pallas"),
-                                frames=min(args.frames, 16))
+        spec = scenes.get(scene_name)
+        report = profile_stages(spec, scene, config, pallas=(used == "pallas"),
+                                frames=min(frames, 16))
         print(format_report(report), file=sys.stderr)
 
-    fps = args.frames / best
-    rays_per_s = fps * num_rays
-    print(f"best: {best*1e3/args.frames:.2f} ms/frame = {fps:.1f} fps", file=sys.stderr)
-    print(json.dumps({
-        "metric": "primary_rays_per_s",
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": rays_per_s / BASELINE_PRIMARY_RAYS_PER_S,
-    }))
-    return 0
+    ms = best * 1e3 / frames
+    rays_per_s = frames / best * num_rays
+    print(f"best: {ms:.2f} ms/frame = {frames/best:.1f} fps", file=sys.stderr)
+    return {"kind": "forward", "scene": scene_name, "size": size,
+            "ms_per_frame": ms, "rays_per_s": rays_per_s}
 
 
-def bench_grad(args, scene, config, num_rays) -> int:
+def phase_grad(scene_name, size, frames, repeats, platform=None):
     """fwd+bwd ms/frame: chained soft-shadow inverse-rendering steps (one
     lax.scan dispatch of K value_and_grad+sgd steps on material params)."""
     import dataclasses
 
+    import jax
     import jax.numpy as jnp
 
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    from raytpu.core import scenes
+    from raytpu.core.types import RenderConfig
     from raytpu.grad import diff_render
 
+    w, h = (int(x) for x in size.lower().split("x"))
+    config = RenderConfig(width=w, height=h, ray_chunk=w * h)
+    scene = scenes.get(scene_name).build()
     target = jnp.zeros((config.height, config.width, 3), jnp.float32)
     soft_cfg = dataclasses.replace(config, soft_shadows=True)
 
@@ -153,26 +162,139 @@ def bench_grad(args, scene, config, num_rays) -> int:
             return p, loss
         return jax.lax.scan(body, params, None, length=n)
 
+    print(f"bench: scene={scene_name} {w}x{h} fwd+bwd steps/dispatch={frames} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
     params = diff_render.material_params(scene)
     t0 = time.perf_counter()
-    p, losses = steps(params, args.frames)
-    jnp.asarray(losses).block_until_ready()
-    float(losses[-1])
+    _, losses = steps(params, frames)
+    float(jnp.asarray(losses)[-1])
     print(f"compile+first dispatch: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     best = float("inf")
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        _, losses = steps(params, args.frames)
+        _, losses = steps(params, frames)
         float(jnp.asarray(losses)[-1])
         best = min(best, time.perf_counter() - t0)
-    ms = best * 1e3 / args.frames
-    print(f"best: {ms:.2f} fwd+bwd ms/frame (loss {float(losses[-1]):.5f})", file=sys.stderr)
+    ms = best * 1e3 / frames
+    print(f"best: {ms:.2f} fwd+bwd ms/frame (loss {float(losses[-1]):.5f})",
+          file=sys.stderr)
+    return {"kind": "grad", "scene": scene_name, "size": size, "ms_per_frame": ms}
+
+
+def orchestrate(args) -> int:
+    """Run every phase in its own subprocess (own tunnel connection) under a
+    timeout with one retry; aggregate into the single driver JSON line."""
+    results = []
+    for kind, scene, size, frames, repeats in ORCH_PHASES:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scene", scene, "--size", size, "--frames", str(frames),
+               "--repeats", str(repeats), "--json"]
+        if kind == "grad":
+            cmd.append("--grad")
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        rec = None
+        for attempt in range(2):
+            t0 = time.perf_counter()
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=args.phase_timeout)
+            except subprocess.TimeoutExpired:
+                print(f"phase {kind}:{scene} TIMEOUT after {args.phase_timeout:.0f}s "
+                      f"(attempt {attempt + 1})", file=sys.stderr)
+                continue
+            sys.stderr.write(proc.stderr)
+            for line in proc.stdout.splitlines():
+                if line.startswith("PHASE_RESULT "):
+                    rec = json.loads(line[len("PHASE_RESULT "):])
+                    break
+            if rec is None:
+                tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
+                print(f"phase {kind}:{scene} FAILED:\n" + "\n".join(tail),
+                      file=sys.stderr)
+            break
+        if rec is not None:
+            rec["wall_s"] = round(time.perf_counter() - t0, 1)
+            results.append(rec)
+
+    headline = [r for r in results
+                if r["kind"] == "forward" and r["scene"] == "reference"]
+    if not headline:
+        print(json.dumps({"metric": "primary_rays_per_s", "value": 0.0,
+                          "unit": "rays/s", "vs_baseline": 0.0,
+                          "error": "all reference-forward phases failed"}))
+        return 1
+
+    best = max(headline, key=lambda r: r["rays_per_s"])
+    extras = {"reference_windows": len(headline),
+              "reference_fwd_ms": round(best["ms_per_frame"], 3)}
+    for r in results:
+        if r["kind"] == "forward" and r["scene"] != "reference":
+            extras[f"{r['scene']}_fwd_ms"] = round(r["ms_per_frame"], 3)
+            extras[f"{r['scene']}_fwd_rays_per_s"] = round(r["rays_per_s"])
+        elif r["kind"] == "grad":
+            extras[f"{r['scene']}_fwd_bwd_ms"] = round(r["ms_per_frame"], 3)
+            extras[f"{r['scene']}_fwd_bwd_vs_baseline_frame"] = round(
+                BASELINE_FRAME_MS / r["ms_per_frame"], 2)
     print(json.dumps({
-        "metric": "fwd_bwd_ms_per_frame",
-        "value": ms,
-        "unit": "ms",
-        "vs_baseline": (1000.0 / 11.0285) / ms,  # reference fwd-only frame time / our fwd+bwd
+        "metric": "primary_rays_per_s",
+        "value": best["rays_per_s"],
+        "unit": "rays/s",
+        "vs_baseline": best["rays_per_s"] / BASELINE_PRIMARY_RAYS_PER_S,
+        "extras": extras,
     }))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default=None,
+                   help="run ONE in-process phase on this scene (legacy mode); "
+                        "omit for the orchestrated multi-phase driver bench")
+    p.add_argument("--size", default="640x480")
+    p.add_argument("--frames", type=int, default=64, help="frames per timed dispatch")
+    p.add_argument("--repeats", type=int, default=3, help="timed dispatches (best taken)")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--grad", action="store_true",
+                   help="benchmark fwd+bwd (soft-shadow inverse-rendering steps)")
+    p.add_argument("--stages", action="store_true",
+                   help="print a per-stage ms breakdown to stderr")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of one timed dispatch into DIR")
+    p.add_argument("--json", action="store_true",
+                   help="emit PHASE_RESULT json (subprocess worker mode)")
+    p.add_argument("--phase-timeout", type=float, default=600.0,
+                   help="orchestrator: seconds per phase attempt")
+    args = p.parse_args(argv)
+
+    if args.scene is None:
+        return orchestrate(args)
+
+    try:
+        w, h = (int(x) for x in args.size.lower().split("x"))
+        assert w > 0 and h > 0
+    except (ValueError, AssertionError):
+        print(f"error: --size must be WxH (got {args.size!r})", file=sys.stderr)
+        return 2
+
+    if args.grad:
+        rec = phase_grad(args.scene, args.size, args.frames, args.repeats,
+                         platform=args.platform)
+        legacy = {"metric": "fwd_bwd_ms_per_frame", "value": rec["ms_per_frame"],
+                  "unit": "ms",
+                  "vs_baseline": BASELINE_FRAME_MS / rec["ms_per_frame"]}
+    else:
+        rec = phase_forward(args.scene, args.size, args.frames, args.repeats,
+                            backend=args.backend, platform=args.platform,
+                            stages=args.stages, trace=args.trace)
+        legacy = {"metric": "primary_rays_per_s", "value": rec["rays_per_s"],
+                  "unit": "rays/s",
+                  "vs_baseline": rec["rays_per_s"] / BASELINE_PRIMARY_RAYS_PER_S}
+    if args.json:
+        print("PHASE_RESULT " + json.dumps(rec))
+    else:
+        print(json.dumps(legacy))
     return 0
 
 
