@@ -1,31 +1,58 @@
-"""Probe: mega2 cull-group size sweep on real TPU."""
-import functools, sys, time
-import jax, jax.numpy as jnp, numpy as np
+"""mega3 (DMA-streamed single-launch) vs mega2 (SMEM launch chain): same-window
+TPU A/B on the course scenes.  Run: timeout 900 python probes/probe_mega3.py
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from raytpu.core import scenes
 from raytpu.core.types import RenderConfig
 from raytpu.render import pallas_kernel as pk
 
-FRAMES = 16
-for name, wh in (("optional", (640, 480)), ("bunny", (640, 480))):
-    spec = scenes.get(name)
-    scene = spec.build()
-    W, H = wh
-    config = RenderConfig(width=W, height=H)
-    for G in (4, 8, 16):
-        pk.MEGA2_G = G
 
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def run(s, n, _G=G):
-            ts = jnp.linspace(0.0, 2.0 * np.pi, n)
-            def body(c, t):
-                img = pk.render_image_mega2_f32(spec.animate(s, t), config)
-                return c + jnp.sum(img, dtype=jnp.float32), None
-            tot, _ = jax.lax.scan(body, jnp.float32(0.0), ts)
-            return tot
+def bench(render_fn, scene, config, frames=16, repeats=3):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(s, n):
+        ts = jnp.linspace(0.0, 2.0 * np.pi, n)
 
-        t0 = time.perf_counter(); float(run(scene, FRAMES)); comp = time.perf_counter() - t0
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter(); float(run(scene, FRAMES)); best = min(best, time.perf_counter() - t0)
-        print(f"{name} {W}x{H} G={G:2d}: {best/FRAMES*1e3:8.2f} ms/frame (compile {comp:.0f}s)", flush=True)
-pk.MEGA2_G = 16
+        def body(carry, t):
+            img = render_fn(s.update(t), config)
+            return carry + jnp.sum(img, dtype=jnp.float32), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), ts)
+        return total
+
+    t0 = time.perf_counter()
+    float(run(scene, frames))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(scene, frames))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3 / frames, compile_s
+
+
+def main():
+    cfg = RenderConfig(width=640, height=480)
+    for name in ("bunny", "optional"):
+        scene = scenes.get(name).build()
+        # parity first (one frame, small): catches Mosaic lowering bugs
+        small = RenderConfig(width=64, height=32)
+        a = np.asarray(jax.jit(lambda s: pk.render_image_mega2_f32(s, small))(scene))
+        b = np.asarray(jax.jit(lambda s: pk.render_image_mega3_f32(s, small))(scene))
+        bad = int((np.abs(a - b).max(axis=-1) > 1e-5).sum())
+        print(f"{name}: TPU small-frame mega2-vs-mega3 mismatched px = {bad}/{a.shape[0]*a.shape[1]}")
+
+        for label, fn in (("mega2", pk.render_image_mega2_f32),
+                          ("mega3", pk.render_image_mega3_f32)):
+            ms, cs = bench(fn, scene, cfg)
+            print(f"{name} {label}: {ms:.2f} ms/frame (compile {cs:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -213,6 +213,53 @@ def scene_w4_bunny() -> Scene:
     return b.build()
 
 
+def _subdivide(pos, idx, levels: int):
+    """Midpoint 1->4 triangle subdivision (no smoothing — the surface is
+    identical, so renders match the base mesh except at shared-edge fp
+    ties).  Stress geometry for the streamed big-mesh kernel path; the
+    reference has no analog scene but its BVH is O(log N) for any N
+    (reference: source/DataTypes.h:294-308)."""
+    pos = np.asarray(pos, np.float32).reshape(-1, 3)
+    idx = np.asarray(idx, np.int64).reshape(-1, 3)
+    for _ in range(levels):
+        a, b, c = idx[:, 0], idx[:, 1], idx[:, 2]
+        edges = np.stack([
+            np.stack([a, b], 1), np.stack([b, c], 1), np.stack([c, a], 1),
+        ], axis=1).reshape(-1, 2)  # (3F, 2)
+        edges_sorted = np.sort(edges, axis=1)
+        uniq, inv = np.unique(edges_sorted, axis=0, return_inverse=True)
+        mid = 0.5 * (pos[uniq[:, 0]] + pos[uniq[:, 1]])
+        mids = inv.reshape(-1, 3) + len(pos)  # (F, 3): [mab, mbc, mca]
+        mab, mbc, mca = mids[:, 0], mids[:, 1], mids[:, 2]
+        pos = np.concatenate([pos, mid.astype(np.float32)], axis=0)
+        idx = np.concatenate([
+            np.stack([a, mab, mca], 1),
+            np.stack([mab, b, mbc], 1),
+            np.stack([mca, mbc, c], 1),
+            np.stack([mab, mbc, mca], 1),
+        ], axis=0)
+    return pos, idx.astype(np.int32)
+
+
+def scene_bunny_subdiv(levels: int = 4) -> Scene:
+    """The bunny room with the mesh midpoint-subdivided ``levels`` times
+    (~297 * 4^levels triangles; 4 -> ~76k): the >=50k-triangle streamed
+    kernel scene.  Same surface as `bunny`, so images match it up to
+    edge-tie fp flips."""
+    b = SceneBuilder()
+    gray_blue = b.add_lambert((0.49, 0.57, 0.57), 1.0)
+    white = b.add_lambert(WHITE, 1.0)
+    pos, nrm, idx = obj.parse_obj("lowpoly_bunny2.obj")
+    pos, idx = _subdivide(pos, idx, levels)
+    m = b.add_triangle_mesh(CullMode.BACK_FACE, white)
+    m.set_geometry(pos, idx.reshape(-1), None)  # per-face normals recomputed
+    m.scale((2.0, 2.0, 2.0))
+    _add_room_planes(b, gray_blue)
+    _add_w4_lights(b)
+    b.set_camera((0.0, 3.0, -9.0), fov_degrees=45.0)
+    return b.build()
+
+
 def scene_w4_optional() -> Scene:
     """Assignment3D1.obj at 0.03x scale, Cook-Torrance orange
     (reference: source/Scene.cpp:439-467)."""
@@ -266,6 +313,8 @@ REGISTRY: dict[str, SceneSpec] = {
     "w4_test": SceneSpec(scene_w4_test, _linear_yaw, "rotating simple_object.obj"),
     "reference": SceneSpec(scene_w4_reference, _cos_yaw, "default benchmark scene"),
     "bunny": SceneSpec(scene_w4_bunny, _cos_yaw, "lowpoly bunny x2"),
+    "bunny50k": SceneSpec(scene_bunny_subdiv, _cos_yaw,
+                          "bunny subdivided 4x (~76k tris): streamed-kernel stress"),
     "optional": SceneSpec(scene_w4_optional, _cos_yaw, "Assignment3D1 x0.03 CT orange"),
 }
 

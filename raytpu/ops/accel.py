@@ -89,7 +89,16 @@ def _morton_numpy(tri_verts: np.ndarray) -> np.ndarray:
 
 def reorder_scene_triangles(scene: Scene) -> Scene:
     """Reorder the scene's triangle soup (and the mesh face tables that
-    generate it) by Morton code, so kernel chunks are spatially coherent.
+    generate it) by spatial coherence, so kernel chunks see tight AABBs.
+
+    The permutation is computed PER MESH (each mesh's faces stay contiguous):
+    under rigid per-mesh animation a group's spatial coherence is then
+    pose-invariant — the per-frame AABB refresh (chunk_bounds) keeps boxes
+    tight for any yaw/translation, and no group's box can balloon from
+    spanning two independently-moving meshes.  Measured: pass rates are flat
+    over a full 2pi yaw on bunny/optional (probes/probe_anim.py).  This is
+    the TPU analog of the reference's per-frame BVH rebuild
+    (reference: source/DataTypes.h:231-235) at zero per-frame cost.
 
     NOTE: reordering changes the reference's iteration-order tie-break for
     exactly-coincident surfaces; geometry and shading are otherwise
@@ -99,7 +108,17 @@ def reorder_scene_triangles(scene: Scene) -> Scene:
     if tr.count == 0:
         return scene
     tv = np.stack([np.asarray(tr.v0), np.asarray(tr.v1), np.asarray(tr.v2)], axis=1)
-    perm = spatial_permutation(tv)
+    if scene.meshes.num_faces == tr.count and scene.meshes.num_meshes > 1:
+        fm = np.asarray(scene.meshes.face_mesh)
+        perm = np.empty(tr.count, np.int32)
+        base = 0
+        for mid in range(scene.meshes.num_meshes):
+            sel = np.flatnonzero(fm == mid).astype(np.int32)
+            sub = spatial_permutation(tv[sel])
+            perm[base : base + len(sel)] = sel[sub]
+            base += len(sel)
+    else:
+        perm = spatial_permutation(tv)
     perm_j = jnp.asarray(perm)
     tri2 = Triangles(
         v0=tr.v0[perm_j], v1=tr.v1[perm_j], v2=tr.v2[perm_j],

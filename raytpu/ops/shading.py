@@ -13,6 +13,7 @@ alpha=roughness^2 at :62-68, and the k=(alpha+1)^2/8 geometry term at :81).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from raytpu.core import math3d
@@ -121,7 +122,9 @@ def shade(materials: Materials, mat_idx, n, l, v):
         axis=1,
     )  # (M, 7)
     onehot = (mat_idx[:, None] == jnp.arange(M, dtype=mat_idx.dtype)[None, :]).astype(jnp.float32)
-    vals = onehot @ table  # (R, 7)
+    # a one-hot contraction is a SELECT: force full precision so the MXU's
+    # default bf16 passes can't quantize material colors/params on TPU
+    vals = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)  # (R, 7)
     kind = vals[:, 0]  # compared against float literals below
     cr, cg, cb = vals[:, 1], vals[:, 2], vals[:, 3]
     p0, p1, p2 = vals[:, 4], vals[:, 5], vals[:, 6]

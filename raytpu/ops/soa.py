@@ -112,11 +112,15 @@ def gather_cols(table, li, mask, onehot_max: int = 4096):
     """
     N, K = table.shape
     sg = jax.lax.stop_gradient
+    # a one-hot contraction is a SELECT: it must not round the table through
+    # the MXU's default bf16 passes (measured: visible payload-normal error
+    # on TPU at 74k tris — every f32 table value quantized to 8 mantissa bits)
+    hp = jax.lax.Precision.HIGHEST
     if N <= onehot_max:
         oh = ((jnp.arange(N)[:, None] == li[None, :]) & mask[None, :]).astype(
             table.dtype
         )
-        return table.T @ sg(oh)
+        return jnp.matmul(table.T, sg(oh), precision=hp)
     G = max(8, -(-N // onehot_max))
     H = -(-N // G)
     tbl = jnp.pad(table, ((0, H * G - N), (0, 0)))
@@ -126,8 +130,9 @@ def gather_cols(table, li, mask, onehot_max: int = 4096):
         table.dtype
     )
     # (H, G*K).T @ (H, R): the winner's whole group, components-major
-    big = tbl.reshape(H, G * K).T @ sg(oh_hi)  # (G*K, R)
+    big = jnp.matmul(tbl.reshape(H, G * K).T, sg(oh_hi), precision=hp)  # (G*K, R)
     oh_lo = ((jnp.arange(G)[:, None] == lo[None, :]) & mask[None, :]).astype(
         table.dtype
     )
-    return jnp.einsum("gkr,gr->kr", big.reshape(G, K, -1), sg(oh_lo))
+    return jnp.einsum("gkr,gr->kr", big.reshape(G, K, -1), sg(oh_lo),
+                      precision=hp)

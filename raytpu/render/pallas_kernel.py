@@ -831,11 +831,18 @@ def _plane_t_reg(pl_ref, p, ox, oy, oz, ddx, ddy, ddz, lo, hi):
 def _tri_t_reg(tri_ref, k, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow):
     """(8,128) Möller–Trumbore t for SMEM triangle row ``k`` with cull modes;
     shadow rays swap front/back culling (reference: source/Utils.h:109-184)."""
-    v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
-    e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
-    e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
-    nx_, ny_, nz_ = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
-    cull = tri_ref[k, 12]
+    return _tri_t_read(lambda c: tri_ref[k, c], ox, oy, oz, ddx, ddy, ddz,
+                       lo, hi, shadow)
+
+
+def _tri_t_read(read, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow):
+    """Möller–Trumbore fold reading the 13 triangle scalars via ``read(col)``
+    (an SMEM blob row for mega/mega2, a DMA ring slot for mega3)."""
+    v0x, v0y, v0z = read(0), read(1), read(2)
+    e1x, e1y, e1z = read(3), read(4), read(5)
+    e2x, e2y, e2z = read(6), read(7), read(8)
+    nx_, ny_, nz_ = read(9), read(10), read(11)
+    cull = read(12)
     cull_dot = nx_ * ddx + ny_ * ddy + nz_ * ddz
     not_par = jnp.abs(cull_dot) >= FLT_EPSILON
     cull_eff = jnp.where(cull == 2.0, 2.0, (1.0 - cull) if shadow else cull)
@@ -862,6 +869,11 @@ def _tri_t_reg(tri_ref, k, ox, oy, oz, ddx, ddy, ddz, lo, hi, shadow):
 def _mat_of(ref, k, base):
     """7 material scalars [kind, rgb, p0..p2] inlined in a prim's SMEM row."""
     return tuple(ref[k, base + c] for c in range(7))
+
+
+def _mat_read(read, base):
+    """7 material scalars via a ``read(col)`` accessor (mega3 ring slots)."""
+    return tuple(read(base + c) for c in range(7))
 
 
 def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
@@ -1574,6 +1586,445 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
 
 
 # ---------------------------------------------------------------------------
+# Megakernel v3: DMA-streamed triangle worklists (arbitrary mesh size)
+# ---------------------------------------------------------------------------
+#
+# mega2's SMEM-resident triangle blob caps one launch at MEGA2_MAX_SMEM_TRIS
+# and forces a LAUNCH CHAIN above it (round-2 optional: 3 closest + 3 shadow
+# launches, each paying raygen + 11 accumulator HBM round-trips + pipeline
+# drain).  mega3 collapses each chain to ONE launch: the triangle blob lives
+# outside SMEM (pl.ANY -> VMEM/HBM) packed as (ng, 256) rows — one 8-triangle
+# cull group per row — and the per-tile worklist drives double-buffered
+# async DMAs of (8, 256) SUPER-GROUP row-blocks (8 groups / 64 triangles,
+# Mosaic's minimum tiled slice) into an SMEM ring.  Folds stay at mega2's
+# measured-best G=8 granularity: each packed worklist entry is si*8+gr
+# (super-group's rank among this tile's passing super-groups, group row
+# within it), the first entry of an sg waits its DMA, the last issues the
+# ring's next prefetch.  The reference analog is the arbitrary-N BVH walk
+# (source/Utils.h:246-288, builder DataTypes.h:294-308) — same O(log N)
+# economics, no SMEM ceiling, no chain.
+
+MEGA3_RING = 8  #: SMEM DMA ring depth (slots of (8, 256) f32 = 8 KB each)
+MEGA3_RING_COARSE = 4  #: shallower ring in coarse mode (fewer, bigger folds)
+MEGA3_FINE_MAX_G = 4096  #: per-GROUP worklists up to this many groups; the
+#   worklist SMEM is O(ng) per tile, so bigger scenes switch to COARSE mode
+#   (one worklist entry = one whole super-group, folded unconditionally)
+MEGA3_MAX_TRIS = 131072  #: coarse worklist SMEM cap (3 lights x 2 arrays)
+
+
+def pack_triangles_sg(tri_blob):
+    """(T, 20) triangle blob -> (ng, 256) DMA rows: row g = cull group g
+    (MEGA2_G=8 triangles x 20 cols each, 160 used of 256 lanes); 8
+    consecutive rows = one (8, 256) DMA super-group.  Padded triangles are
+    degenerate (all-zero -> every test misses)."""
+    tb = _pad_axis(tri_blob, 0, 8 * MEGA2_G, 0.0)
+    ng = tb.shape[0] // MEGA2_G
+    rows = tb.reshape(ng, MEGA2_G * 20)
+    return jnp.pad(rows, ((0, 0), (0, 256 - MEGA2_G * 20)))
+
+
+def mega3_worklists(cull):
+    """(nt, ng) cull matrix -> streaming worklists with ALL per-entry scalar
+    control precomputed in XLA (the kernel's inner loop pays one SMEM read +
+    a few bit tests per entry).
+
+    Returns ``(sg_wl (nt, nsg), g_wl (nt, ng), counts (nt, 2))``:
+    ``sg_wl`` = passing super-group ids ascending (prologue DMA issues);
+    ``g_wl`` = per passing group ascending, packed as
+        bits [0:3]  gr     — group row within its (8, 256) super-group block
+        bits [3:6]  slot   — ring slot (sg rank % MEGA3_RING)
+        bit  [6]    wait   — first entry of its super-group: wait the DMA
+        bit  [7]    issue  — last entry: prefetch super-group rank+RING
+        bits [8:]   sg     — super-group id to prefetch (when issue is set)
+    ``counts`` = [sg_cnt, g_cnt].  Entries past the counts are never read."""
+    nt, ng = cull.shape
+    nsg = ng // 8
+    coarse = ng > MEGA3_FINE_MAX_G
+    D = MEGA3_RING_COARSE if coarse else MEGA3_RING
+    sgp = cull.reshape(nt, nsg, 8).max(axis=2)
+    sg_wl, sg_cnt = chunk_worklist(sgp)
+    if coarse:
+        # one entry per passing super-group (folded whole): entry q IS
+        # super-group rank q, so every entry waits and prefetches rank q+D
+        q = jax.lax.broadcasted_iota(jnp.int32, sg_wl.shape, 1)
+        issue = (q + D) < sg_cnt
+        issue_sg = jnp.take_along_axis(
+            sg_wl, jnp.clip(q + D, 0, nsg - 1), axis=1)
+        packed = (
+            (q % D) << 3
+            | 1 << 6
+            | issue.astype(jnp.int32) << 7
+            | jnp.where(issue, issue_sg, 0) << 8
+        )
+        return sg_wl, packed, jnp.concatenate([sg_cnt, sg_cnt], axis=1)
+    g_wl, g_cnt = chunk_worklist(cull)
+    rank = (jnp.cumsum(sgp > 0.0, axis=1) - 1).astype(jnp.int32)
+    si = jnp.take_along_axis(rank, jnp.clip(g_wl // 8, 0, nsg - 1), axis=1)
+
+    q = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
+    prev_si = jnp.roll(si, 1, axis=1)
+    next_si = jnp.roll(si, -1, axis=1)
+    wait = (q == 0) | (prev_si < si)
+    issue = ((q == g_cnt - 1) | (next_si > si)) & (si + D < sg_cnt)
+    issue_sg = jnp.take_along_axis(
+        sg_wl, jnp.clip(si + D, 0, nsg - 1), axis=1)
+    packed = (
+        g_wl % 8
+        | (si % D) << 3
+        | wait.astype(jnp.int32) << 6
+        | issue.astype(jnp.int32) << 7
+        | jnp.where(issue, issue_sg, 0) << 8
+    )
+    return sg_wl, packed, jnp.concatenate([sg_cnt, g_cnt], axis=1)
+
+
+def _mega3_stream(blob_ref, scratch, sems, sgwl, gwl, sg_cnt, g_cnt,
+                  fold_entry, acc):
+    """Fold every packed worklist entry, streaming super-group row-blocks
+    through the SMEM ring.  ``sgwl(k)`` -> super-group id (prologue);
+    ``gwl(q)`` -> packed entry (see mega3_worklists); ``fold_entry(slot, gr,
+    acc) -> acc`` does the vector work.  DMA waits/issues ride pl.when (side
+    effects only — the fold itself is unconditional so accumulators stay in
+    registers)."""
+    D = scratch.shape[0]
+
+    def copy(sg, slot):
+        return pltpu.make_async_copy(
+            blob_ref.at[pl.ds(sg * 8, 8), :], scratch.at[slot], sems.at[slot]
+        )
+
+    def prologue(k, c):
+        copy(sgwl(k), jax.lax.rem(k, D)).start()
+        return c
+
+    jax.lax.fori_loop(0, jnp.minimum(sg_cnt, D), prologue, 0)
+
+    def body(q, acc):
+        e = gwl(q)
+        gr = e & 7
+        slot = (e >> 3) & 7
+
+        @pl.when((e & 64) != 0)
+        def _():  # first entry of this super-group: its DMA must have landed
+            copy(0, slot).wait()
+
+        acc = fold_entry(slot, gr, acc)
+
+        @pl.when((e & 128) != 0)
+        def _():  # last entry of this super-group: its ring slot is free
+            copy(e >> 8, slot).start()
+
+        return acc
+
+    return jax.lax.fori_loop(0, g_cnt, body, acc)
+
+
+def _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse):
+    """Single-launch closest hit: sphere/plane unrolls + streamed triangle
+    worklist.  Same accumulator payload as the mega2 chain."""
+    tmin = float(config.ray_min)
+    rows = range(8) if coarse else (None,)
+
+    def kernel(*refs):
+        cam_ref, sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:7]
+        out_refs = refs[7:18]
+        scratch, sems = refs[18], refs[19]
+        i = pl.program_id(0)
+        sg_cnt = cnt_ref[0, 0, 0]
+        g_cnt = cnt_ref[0, 0, 1]
+        rox, roy, roz, rdx, rdy, rdz = _mega2_raygen(cam_ref, i, W, H, tiled)
+
+        t = jnp.full((8, 128), INF, jnp.float32)
+        nx = jnp.zeros((8, 128), jnp.float32)
+        ny, nz, mk, mr, mg, mb, m0, m1, m2 = (jnp.zeros_like(nx) for _ in range(9))
+
+        def upd(sel, tc, nc3, mat, acc):
+            t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2 = acc
+            t = jnp.where(sel, tc, t)
+            nx = jnp.where(sel, nc3[0], nx)
+            ny = jnp.where(sel, nc3[1], ny)
+            nz = jnp.where(sel, nc3[2], nz)
+            mk = jnp.where(sel, mat[0], mk)
+            mr = jnp.where(sel, mat[1], mr)
+            mg = jnp.where(sel, mat[2], mg)
+            mb = jnp.where(sel, mat[3], mb)
+            m0 = jnp.where(sel, mat[4], m0)
+            m1 = jnp.where(sel, mat[5], m1)
+            m2 = jnp.where(sel, mat[6], m2)
+            return t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2
+
+        acc = (t, nx, ny, nz, mk, mr, mg, mb, m0, m1, m2)
+        for s in range(S):
+            tc = _sphere_t_reg(sph_ref, s, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
+            px_ = rox + tc * rdx
+            py_ = roy + tc * rdy
+            pz_ = roz + tc * rdz
+            cnx = px_ - sph_ref[s, 0]
+            cny = py_ - sph_ref[s, 1]
+            cnz = pz_ - sph_ref[s, 2]
+            n_len = jnp.sqrt(jnp.maximum(_msqnorm(cnx, cny, cnz), 1e-20))
+            acc = upd(tc < acc[0], tc, (cnx / n_len, cny / n_len, cnz / n_len),
+                      _mat_of(sph_ref, s, 4), acc)
+        for p in range(P):
+            tc = _plane_t_reg(pl_ref, p, rox, roy, roz, rdx, rdy, rdz, tmin, INF)
+            acc = upd(tc < acc[0], tc, (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2]),
+                      _mat_of(pl_ref, p, 4), acc)
+
+        def fold_entry(slot, gr, acc):
+            for r in rows:
+                g = gr if r is None else r
+                for m in range(MEGA2_G):
+                    read = lambda c, m=m, g=g: scratch[slot, g, m * 20 + c]
+                    tc = _tri_t_read(read, rox, roy, roz, rdx, rdy, rdz,
+                                     tmin, INF, shadow=False)
+                    acc = upd(tc < acc[0], tc, (read(9), read(10), read(11)),
+                              _mat_read(read, 13), acc)
+            return acc
+
+        acc = _mega3_stream(
+            blob_ref, scratch, sems,
+            lambda k: sgwl_ref[0, 0, k], lambda q: gwl_ref[0, 0, q],
+            sg_cnt, g_cnt, fold_entry, acc,
+        )
+        for ref, reg in zip(out_refs, acc):
+            ref[:] = reg
+
+    return kernel
+
+
+def _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, coarse, stream):
+    """Single-launch shadow + shade: per-light sphere/plane occlusion
+    unrolls + streamed triangle worklists, then the whole RenderPixel tail
+    (reference: source/Renderer.cpp:120-182) in-kernel."""
+    tmin = float(config.ray_min)
+    shadows = bool(config.shadows)
+    mode_name = config.lighting_mode.name
+    rows = range(8) if coarse else (None,)
+
+    def kernel(*refs):
+        cam_ref, sph_ref, pl_ref, li_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:8]
+        t_ref, nx_ref, ny_ref, nz_ref = refs[8:12]
+        mat_refs = refs[12:19]
+        out_ref = refs[19]
+        scratch, sems = refs[20], refs[21]
+
+        i = pl.program_id(0)
+        cnts = [(cnt_ref[0, li, 0], cnt_ref[0, li, 1]) for li in range(L)] \
+            if (shadows and stream) else []
+        rox, roy, roz, rdx, rdy, rdz = _mega2_raygen(cam_ref, i, W, H, tiled)
+        t = t_ref[:]
+        nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+        hit = t < INF
+        ts = jnp.where(hit, t, 0.0)
+        px_ = rox + ts * rdx
+        py_ = roy + ts * rdy
+        pz_ = roz + ts * rdz
+        off = float(config.normal_offset)
+        ox_ = px_ + nx * off
+        oy_ = py_ + ny * off
+        oz_ = pz_ + nz * off
+        mk, mr, mg, mb, m0, m1, m2 = (r[:] for r in mat_refs)
+        vx, vy, vz = -rdx, -rdy, -rdz
+        cr = jnp.zeros((8, 128), jnp.float32)
+        cg = jnp.zeros_like(cr)
+        cb = jnp.zeros_like(cr)
+        sf = jnp.ones_like(cr)
+
+        for li in range(L):
+            lpx, lpy, lpz = li_ref[li, 0], li_ref[li, 1], li_ref[li, 2]
+            lint = li_ref[li, 6]
+            is_point = li_ref[li, 7] == 0.0
+            ldx = lpx - ox_
+            ldy = lpy - oy_
+            ldz = lpz - oz_
+            mag_pt = jnp.sqrt(_msqnorm(ldx, ldy, ldz))
+            lx = jnp.where(is_point, ldx / mag_pt, -lpx)
+            ly = jnp.where(is_point, ldy / mag_pt, -lpy)
+            lz = jnp.where(is_point, ldz / mag_pt, -lpz)
+            mag = jnp.where(is_point, mag_pt, 3.4028235e38)
+
+            if shadows:
+                # miss lanes start occluded: their shading is masked by `hit`
+                occf = jnp.where(hit, 0.0, 1.0)
+                for s in range(S):
+                    tc = _sphere_t_reg(sph_ref, s, ox_, oy_, oz_, lx, ly, lz, tmin, mag)
+                    occf = jnp.where(tc < INF, 1.0, occf)
+                for p in range(P):
+                    tc = _plane_t_reg(pl_ref, p, ox_, oy_, oz_, lx, ly, lz, tmin, mag)
+                    occf = jnp.where(tc < INF, 1.0, occf)
+                if stream:
+                    def fold_entry(slot, gr, occf, lx=lx, ly=ly, lz=lz, mag=mag):
+                        for r in rows:
+                            g = gr if r is None else r
+                            for m in range(MEGA2_G):
+                                read = lambda c, m=m, g=g: scratch[slot, g, m * 20 + c]
+                                tc = _tri_t_read(read, ox_, oy_, oz_, lx, ly, lz,
+                                                 tmin, mag, shadow=True)
+                                occf = jnp.where(tc < INF, 1.0, occf)
+                        return occf
+
+                    occf = _mega3_stream(
+                        blob_ref, scratch, sems,
+                        lambda k, li=li: sgwl_ref[0, li, k],
+                        lambda q, li=li: gwl_ref[0, li, q],
+                        cnts[li][0], cnts[li][1], fold_entry, occf,
+                    )
+                lit = jnp.logical_not((occf > 0.5) & hit)
+                sf = sf * jnp.where(lit, 1.0, float(config.shadow_dim))
+            else:
+                lit = jnp.ones((8, 128), jnp.bool_)
+
+            wr, wg, wb = _shade_one_light(
+                mode_name, is_point,
+                (lpx, lpy, lpz), (li_ref[li, 3], li_ref[li, 4], li_ref[li, 5]), lint,
+                (px_, py_, pz_), (nx, ny, nz), (lx, ly, lz), (vx, vy, vz),
+                (mk, mr, mg, mb, m0, m1, m2),
+            )
+            cr = cr + jnp.where(lit, wr, 0.0)
+            cg = cg + jnp.where(lit, wg, 0.0)
+            cb = cb + jnp.where(lit, wb, 0.0)
+
+        cr = jnp.where(hit, cr * sf, 0.0)
+        cg = jnp.where(hit, cg * sf, 0.0)
+        cb = jnp.where(hit, cb * sf, 0.0)
+        cr, cg, cb = _tonemap_rgb(cr, cg, cb)
+        out_ref[0, :, :] = cr
+        out_ref[1, :, :] = cg
+        out_ref[2, :, :] = cb
+
+    return kernel
+
+
+def render_image_mega3_f32(scene: Scene, config: RenderConfig):
+    """Whole-frame mega3 render -> (H, W, 3) f32: ONE closest-hit launch +
+    ONE shadow/shade launch for any triangle count up to MEGA3_MAX_TRIS."""
+    from raytpu.ops import accel, shading as _shading
+
+    W, H = config.width, config.height
+    R = W * H
+    L = scene.lights.count
+    tmin = float(config.ray_min)
+    tiled = (W % 32 == 0) and (H % 32 == 0)
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = _interpret or jax.default_backend() == "cpu"
+
+    cam, sph, pln, tri_blob, li = _mega_pack(scene, config)
+    S, P, T = sph.shape[0], pln.shape[0], tri_blob.shape[0]
+    if T == 0:  # degenerate all-zero group: every worklist count is 0
+        tri_blob = jnp.zeros((1, 20), jnp.float32)
+    blob = pack_triangles_sg(tri_blob)  # (ng, 256)
+    ng = blob.shape[0]
+    nsg = ng // 8
+
+    # per-group SAH-leaf AABBs, padded to ng with never-pass bounds
+    glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
+    pad = ng - glo.shape[0]
+    glo = jnp.pad(glo, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    ghi = jnp.pad(ghi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+
+    coarse = ng > MEGA3_FINE_MAX_G
+    nge = nsg if coarse else ng  # packed worklist length per tile
+    D = MEGA3_RING_COARSE if coarse else MEGA3_RING
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
+    ring = [
+        pltpu.SMEM((D, 8, 256), jnp.float32),
+        pltpu.SemaphoreType.DMA((D,)),
+    ]
+    sph_in = sph if S else jnp.zeros((1, 11), jnp.float32)
+    pln_in = pln if P else jnp.zeros((1, 11), jnp.float32)
+    li_in = li if L else jnp.zeros((1, 8), jnp.float32)
+
+    # ---- XLA: primary-ray worklists ----
+    ro, rd = _renderer.generate_rays(scene.camera, config)
+    rd_f = _mega2_fold(rd, H, W) if tiled else rd
+    rb = accel.ray_tile_bounds(jnp.broadcast_to(ro, rd_f.shape), rd_f, INF, tile=1024)
+    cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
+    sg_wl, g_wl, cnts = mega3_worklists(cullm)
+
+    # ---- closest-hit launch ----
+    kern = _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse)
+    accs = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
+            smem_t((1, 1, nsg)), smem_t((1, 1, nge)), smem_t((1, 1, 2)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[vtile] * 11,
+        out_shape=[acc_shape] * 11,
+        scratch_shapes=ring,
+        interpret=interpret,
+    )(cam, sph_in, pln_in, sg_wl[:, None, :], g_wl[:, None, :],
+      cnts[:, None, :], blob)
+
+    t_acc, nx_a, ny_a, nz_a = accs[0], accs[1], accs[2], accs[3]
+
+    if L == 0:
+        return jnp.zeros((H, W, 3), jnp.float32)  # no lights -> black (W1)
+
+    # ---- XLA: per-light shadow worklists from the closest-hit depths ----
+    stream = bool(config.shadows) and T > 0
+    if stream:
+        t_flat = t_acc.reshape(-1)[: nt * 1024]
+        n_flat = jnp.stack(
+            [a.reshape(-1)[: nt * 1024] for a in (nx_a, ny_a, nz_a)], axis=1
+        )
+        rdp = _pad_axis(rd_f, 0, 1024, 0.0)
+        hit_f = jnp.isfinite(t_flat)
+        p_off = (
+            ro[None, :]
+            + jnp.where(hit_f, t_flat, 0.0)[:, None] * rdp
+            + n_flat * jnp.float32(config.normal_offset)
+        )
+        sgl, gl, cl = [], [], []
+        for li_i in range(L):
+            ld, mag = _shading.direction_to_light(scene.lights, li_i, p_off)
+            mag = jnp.where(hit_f, mag, 0.0)  # missed ray: zero-length segment
+            is_pt = scene.lights.kind[li_i] == LightKind.POINT
+            cm = accel.shadow_cull_matrix(
+                p_off, ld, mag, scene.lights.position[li_i], is_pt, glo, ghi, tmin)
+            s_, g_, c_ = mega3_worklists(cm)
+            sgl.append(s_)
+            gl.append(g_)
+            cl.append(c_)
+        sh_sg = jnp.stack(sgl, axis=1)  # (nt, L, nsg)
+        sh_g = jnp.stack(gl, axis=1)  # (nt, L, ng)
+        sh_c = jnp.stack(cl, axis=1)  # (nt, L, 2)
+    else:
+        sh_sg = jnp.zeros((nt, max(L, 1), nsg), jnp.int32)
+        sh_g = jnp.zeros((nt, max(L, 1), nge), jnp.int32)
+        sh_c = jnp.zeros((nt, max(L, 1), 2), jnp.int32)
+
+    # ---- shadow + shade launch ----
+    kern = _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, coarse, stream)
+    colors = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
+            smem((max(L, 1), 8)),
+            smem_t((1, max(L, 1), nsg)), smem_t((1, max(L, 1), nge)),
+            smem_t((1, max(L, 1), 2)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vtile, vtile, vtile, vtile,
+            vtile, vtile, vtile, vtile, vtile, vtile, vtile,
+        ],
+        out_specs=pl.BlockSpec((3, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32),
+        scratch_shapes=ring,
+        interpret=interpret,
+    )(cam, sph_in, pln_in, li_in, sh_sg, sh_g, sh_c, blob,
+      t_acc, nx_a, ny_a, nz_a, *accs[4:])
+
+    return _mega2_unfold_colors(colors, H, W, tiled, R)
+
+
+# ---------------------------------------------------------------------------
 # Full-frame renderer on the Pallas backend
 # ---------------------------------------------------------------------------
 
@@ -1632,6 +2083,18 @@ def render_image_f32(scene: Scene, config: RenderConfig):
         and not config.soft_shadows
     ):
         return render_image_mega2_f32(scene, config)
+    if (
+        scene.triangles.count <= MEGA3_MAX_TRIS
+        and scene.spheres.count <= MEGA2_MAX_UNROLL
+        and scene.planes.count <= MEGA2_MAX_UNROLL
+        and scene.lights.count <= MEGA2_MAX_LIGHTS
+        # coarse worklist SMEM: 2 int32 arrays per light of nsg entries
+        and scene.lights.count * _cdiv(scene.triangles.count, 64) <= 8192
+        and not config.soft_shadows
+    ):
+        # DMA-streamed single-launch kernels: measured ~3x over the (RT, CT)
+        # chunked fallback this band used in round 2 (probes/probe_mega3.py)
+        return render_image_mega3_f32(scene, config)
     if scene.triangles.count > MAX_VMEM_TRIS or config.soft_shadows:
         return _renderer.render_image_f32(scene, config)
     W, H = config.width, config.height

@@ -32,6 +32,8 @@ GATE_ENTRIES = [
     "mega2_tiled",         # mega2 closest+shadow worklist kernels, 32x32 tile order
     "mega2_untiled",       # mega2 kernels, raster-order raygen
     "chunked_pipeline",    # (RT,CT) closest_hit_pallas + any_hit_lights + shadow_shade
+    "mega3_fine",          # DMA-streamed single-launch kernels, per-group worklists
+    "mega3_coarse",        # DMA-streamed kernels, per-super-group worklists (74k tris)
     "soft_forward",        # soft_trans_lights_pallas fwd + scene_min_t_mega2 + any_hit_lights_mega2
     "soft_fwd_bwd",        # + custom-VJP backward kernels (dray, dprim) via value_and_grad
     "sharded_1x1",         # shard_map composition of the mega2 kernels on a 1x1 mesh
@@ -61,6 +63,12 @@ def _build(entry: str):
         cfg = RenderConfig(width=64, height=32) if entry == "mega2_tiled" else \
             RenderConfig(width=60, height=40)
         return functools.partial(pk.render_image_mega2_f32, config=cfg), (scene,)
+
+    if entry in ("mega3_fine", "mega3_coarse"):
+        name = "optional" if entry == "mega3_fine" else "bunny50k"
+        scene = scenes.get(name).build()
+        cfg = RenderConfig(width=64, height=32)
+        return functools.partial(pk.render_image_mega3_f32, config=cfg), (scene,)
 
     if entry == "chunked_pipeline":
         # the >9600-tri fallback path: (RT, CT) chunked closest hit +
