@@ -11,6 +11,10 @@ meshes move apart).  This probe measures (pure XLA, CPU):
 Run: PYTHONPATH=/root/repo python probes/probe_anim.py
 """
 
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -14,6 +14,10 @@ So the minimum DMA unit is an (8, 128k) row-block: here one SUPER-GROUP of
 lanes.  Run: python probes/probe_dma_smem.py
 """
 
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
 import time
 
 import jax

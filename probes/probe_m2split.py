@@ -9,6 +9,10 @@ shadow stage, via nested ablations (same window, real TPU):
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 1200 python probes/probe_m2split.py
 """
 
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
 import dataclasses
 import functools
 import time

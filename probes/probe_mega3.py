@@ -2,6 +2,10 @@
 TPU A/B on the course scenes.  Run: timeout 900 python probes/probe_mega3.py
 """
 
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
 import functools
 import time
 

@@ -5,6 +5,10 @@ bunny/optional, plus a closest-only variant (isolates primary folds).
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 900 python probes/probe_stagecost.py
 """
 
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
 import dataclasses
 import functools
 import time

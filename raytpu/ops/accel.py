@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -237,6 +238,146 @@ def shadow_cull_matrix(ro, ld, mag, light_pos, is_point, lo, hi, tmin,
     )
     rev = cull_matrix(rb_rev, lo, hi, 0.0)
     return cull * jnp.where(is_point, rev, jnp.ones_like(rev))
+
+
+def camera_tile_bounds(camera, W: int, H: int, tiled: bool, tile: int = 1024):
+    """Per-tile PRIMARY ray bounds (nt, 20) computed analytically from the
+    camera — O(tiles) math instead of materializing O(rays) direction arrays
+    (generate_rays + ray_tile_bounds measured ~1.5 ms/frame at 640x480: every
+    op on an (R, 3) array wastes 125/128 lanes; probes/probe_wlxla.py).
+
+    The unnormalized direction ``d = cx*right + cy*up + fwd`` is bilinear in
+    the pixel coords, so per-component extrema over a pixel rectangle are at
+    its corners; with an orthonormal basis ``|d|^2 = 1 + cx^2 + cy^2``, whose
+    extrema over the rectangle are exact.  Normalized-direction intervals
+    follow by interval division (conservative), then a 1e-6 relative widen
+    for fp safety.  Same (nt, 20) layout as ``ray_tile_bounds``.
+    """
+    nt = -(-(W * H) // tile)
+    i = jnp.arange(nt, dtype=jnp.float32)
+    if tiled:
+        TX = W // 32
+        tx = jnp.mod(i, TX)
+        ty = jnp.floor_divide(i, TX)
+        px0, px1 = tx * 32.0, tx * 32.0 + 31.0
+        py0, py1 = ty * 32.0, ty * 32.0 + 31.0
+    else:
+        rid0 = i * tile
+        rid1 = jnp.minimum(rid0 + tile - 1, float(W * H - 1))
+        full_rows = (rid1 - rid0 + 1.0) >= W  # spans >= one full row
+        px0 = jnp.where(full_rows, 0.0, jnp.mod(rid0, W))
+        px1 = jnp.where(full_rows, float(W - 1), jnp.mod(rid1, W))
+        # non-full-row tiles that still wrap a row boundary span all columns
+        wraps = (~full_rows) & (px1 < px0)
+        px0 = jnp.where(wraps, 0.0, px0)
+        px1 = jnp.where(wraps, float(W - 1), px1)
+        py0 = jnp.floor_divide(rid0, W)
+        py1 = jnp.floor_divide(rid1, W)
+
+    fov = camera.fov_scale
+    aspect = jnp.float32(W / H)
+    cx0 = (2.0 * (px0 + 0.5) / W - 1.0) * aspect * fov
+    cx1 = (2.0 * (px1 + 0.5) / W - 1.0) * aspect * fov
+    cy1 = (1.0 - 2.0 * (py0 + 0.5) / H) * fov  # py0 -> larger cy
+    cy0 = (1.0 - 2.0 * (py1 + 0.5) / H) * fov
+    cx_lo, cx_hi = jnp.minimum(cx0, cx1), jnp.maximum(cx0, cx1)
+    cy_lo, cy_hi = jnp.minimum(cy0, cy1), jnp.maximum(cy0, cy1)
+
+    right, up, fwd = camera.onb()
+
+    def axis_interval(r, u, f):
+        a_lo = jnp.minimum(cx_lo * r, cx_hi * r) + jnp.minimum(cy_lo * u, cy_hi * u) + f
+        a_hi = jnp.maximum(cx_lo * r, cx_hi * r) + jnp.maximum(cy_lo * u, cy_hi * u) + f
+        return a_lo, a_hi
+
+    d_lo, d_hi = zip(*(axis_interval(right[k], up[k], fwd[k]) for k in range(3)))
+    d_lo = jnp.stack(d_lo, axis=1)  # (nt, 3)
+    d_hi = jnp.stack(d_hi, axis=1)
+
+    def minabs(lo, hi):
+        return jnp.where((lo <= 0.0) & (hi >= 0.0), 0.0,
+                         jnp.minimum(jnp.abs(lo), jnp.abs(hi)))
+
+    n2_lo = 1.0 + minabs(cx_lo, cx_hi) ** 2 + minabs(cy_lo, cy_hi) ** 2
+    n2_hi = 1.0 + jnp.maximum(cx_lo**2, cx_hi**2) + jnp.maximum(cy_lo**2, cy_hi**2)
+    dmin, dmax = _div_interval(d_lo, d_hi, n2_lo[:, None], n2_hi[:, None])
+
+    o = jnp.broadcast_to(camera.origin[None, :], (nt, 3))
+    z3 = jnp.zeros((nt, 3), jnp.float32)
+    return jnp.concatenate([
+        o, o, dmin, dmax,
+        jnp.full((nt, 1), 3.0e38, jnp.float32), jnp.zeros((nt, 1), jnp.float32),
+        z3, z3,
+    ], axis=1)
+
+
+def _div_interval(v_lo, v_hi, n2_lo, n2_hi, eps: float = 1e-6):
+    """[v_lo, v_hi] / sqrt([n2_lo, n2_hi]) as a conservative interval,
+    widened by ``eps`` relative (inputs broadcast; norms positive)."""
+    inv_lo = jax.lax.rsqrt(jnp.maximum(n2_hi, 1e-30))
+    inv_hi = jax.lax.rsqrt(jnp.maximum(n2_lo, 1e-30))
+    lo = jnp.minimum(v_lo * inv_lo, v_lo * inv_hi)
+    hi = jnp.maximum(v_hi * inv_lo, v_hi * inv_hi)
+    margin = eps * jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1e-12
+    return lo - margin, hi + margin
+
+
+def light_shadow_cull_from_aabb(aabb_lo, aabb_hi, light_pos, light_dir,
+                                is_point, glo, ghi, tmin):
+    """Per-(tile, group) shadow cull from per-TILE shadow-origin AABBs —
+    the O(tiles) replacement for building (R, 3) shadow-ray arrays in XLA
+    (``shadow_cull_matrix`` over per-ray ``p_off`` measured ~1.5 ms/frame).
+    The closest-hit kernel emits the AABBs (min/max of offset hit points,
+    masked to hit lanes); bounds here are conservative supersets of the
+    per-ray ones, so the render is unchanged — only pass rates can differ.
+
+    Point lights: direction interval ``(L - box)/|L - p|`` by interval
+    division; segment union = box ∪ {L}; the light-anchored REVERSED slab
+    {L -> box, t in [0, 1]} is exact interval math.  Directional lights:
+    the forward direction is a single exact vector.
+    """
+    nt = aabb_lo.shape[0]
+    z3 = jnp.zeros((nt, 3), jnp.float32)
+    o_lo, o_hi = aabb_lo, aabb_hi
+    empty = ~(o_lo[:, 0] <= o_hi[:, 0])  # all-miss tile
+    is_pt = jnp.asarray(is_point)  # traced under jit: select, don't branch
+
+    # point-light branch: direction interval (L - box)/|L - p|
+    L = jnp.broadcast_to(light_pos[None, :], (nt, 3))
+    diff_lo = light_pos[None, :] - o_hi
+    diff_hi = light_pos[None, :] - o_lo
+    straddle = (diff_lo <= 0.0) & (diff_hi >= 0.0)
+    mina = jnp.where(straddle, 0.0, jnp.minimum(jnp.abs(diff_lo), jnp.abs(diff_hi)))
+    maxa = jnp.maximum(jnp.abs(diff_lo), jnp.abs(diff_hi))
+    n2_lo = jnp.sum(mina**2, axis=1, keepdims=True)
+    n2_hi = jnp.sum(maxa**2, axis=1, keepdims=True)
+    p_dmin, p_dmax = _div_interval(diff_lo, diff_hi, n2_lo, n2_hi)
+    p_dmin = jnp.clip(p_dmin, -1.0, 1.0)
+    p_dmax = jnp.clip(p_dmax, -1.0, 1.0)
+    p_tmx = jnp.sqrt(n2_hi) * (1.0 + 1e-6)
+
+    # directional branch: a single exact direction, unbounded segment
+    dm = jnp.broadcast_to(-light_dir[None, :], (nt, 3))
+
+    sel = lambda a, b: jnp.where(is_pt, a, b)
+    rb = jnp.concatenate([
+        o_lo, o_hi, sel(p_dmin, dm), sel(p_dmax, dm),
+        sel(p_tmx, jnp.full((nt, 1), 3.0e38, jnp.float32)),
+        sel(jnp.ones((nt, 1), jnp.float32), jnp.zeros((nt, 1), jnp.float32)),
+        sel(L, z3), sel(L, z3),
+    ], axis=1)
+    cull = cull_matrix(rb, glo, ghi, tmin)
+
+    # light-anchored reversed slab (point lights only): origins at the light
+    # (exact), directions span box - L, t in [0, 1] covers every segment
+    rb_rev = jnp.concatenate([
+        L, L, -diff_hi, -diff_lo,
+        jnp.ones((nt, 1), jnp.float32), jnp.ones((nt, 1), jnp.float32),
+        o_lo, o_hi,
+    ], axis=1)
+    rev = cull_matrix(rb_rev, glo, ghi, 0.0)
+    cull = cull * jnp.where(is_pt, rev, jnp.ones_like(rev))
+    return jnp.where(empty[:, None], 0.0, cull)
 
 
 def ray_tile_bounds(ro, rd, tmax, tile: int = 128):

@@ -1162,10 +1162,14 @@ def _mega2_raygen(cam_ref, i, W, H, tiled):
     return rox, roy, roz, dx / d_len, dy / d_len, dz / d_len
 
 
-def _make_mega2_closest_kernel(config, S, P, Tl, ngl, W, H, tiled, first, culled):
+def _make_mega2_closest_kernel(config, S, P, Tl, ngl, W, H, tiled, first, culled,
+                               last=False):
     """One launch of the closest-hit chain over its SMEM triangle subset.
     ``first`` also folds spheres/planes and initializes the accumulators;
-    later launches continue from the aliased accumulator inputs."""
+    later launches continue from the aliased accumulator inputs.  The
+    ``last`` launch additionally emits the per-tile AABB of offset hit
+    points, from which the shadow cull is built in O(tiles) XLA
+    (accel.light_shadow_cull_from_aabb)."""
     tmin = float(config.ray_min)
 
     def kernel(cam_ref, sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref, *refs):
@@ -1173,6 +1177,9 @@ def _make_mega2_closest_kernel(config, S, P, Tl, ngl, W, H, tiled, first, culled
         cnt = cnt_ref[0, 0, 0]  # bind SMEM scalars outside any control flow
         rox, roy, roz, rdx, rdy, rdz = _mega2_raygen(cam_ref, i, W, H, tiled)
         out_refs = refs[0 if first else 11 :]
+        if last:
+            bb_ref = out_refs[-1]
+            out_refs = out_refs[:-1]
 
         if first:
             t = jnp.full((8, 128), INF, jnp.float32)
@@ -1239,8 +1246,28 @@ def _make_mega2_closest_kernel(config, S, P, Tl, ngl, W, H, tiled, first, culled
 
         for ref, reg in zip(out_refs, acc):
             ref[:] = reg
+        if last:
+            _emit_hit_bounds(bb_ref, config, acc, rox, roy, roz, rdx, rdy, rdz)
 
     return kernel
+
+
+def _emit_hit_bounds(bb_ref, config, acc, rox, roy, roz, rdx, rdy, rdz):
+    """Write the tile's AABB of offset hit points to a (1, 8) SMEM block:
+    [min xyz, max xyz, 0, 0].  Miss lanes excluded; an all-miss tile emits
+    an empty (+inf/-inf) box, which culls every group."""
+    t, nx, ny, nz = acc[0], acc[1], acc[2], acc[3]
+    hit = t < INF
+    ts = jnp.where(hit, t, 0.0)
+    off = float(config.normal_offset)
+    ox_ = rox + ts * rdx + nx * off
+    oy_ = roy + ts * rdy + ny * off
+    oz_ = roz + ts * rdz + nz * off
+    for c, v in enumerate((ox_, oy_, oz_)):
+        bb_ref[0, 0, c] = jnp.min(jnp.where(hit, v, INF))
+        bb_ref[0, 0, 3 + c] = jnp.max(jnp.where(hit, v, -INF))
+    bb_ref[0, 0, 6] = 0.0
+    bb_ref[0, 0, 7] = 0.0
 
 
 def _make_mega2_shadow_kernel(config, S, P, Tl, ngl, L, W, H, tiled, first, last, culled):
@@ -1432,13 +1459,11 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
     li_in = li if L else jnp.zeros((1, 8), jnp.float32)
 
     # ---- XLA: primary-ray cull worklists (per launch subset) ----
-    ro, rd = _renderer.generate_rays(scene.camera, config)
-    rd_f = _mega2_fold(rd, H, W) if tiled else rd
+    # per-tile ray bounds come analytically from the camera — O(tiles), no
+    # O(rays) direction arrays (probes/probe_wlxla.py: that was ~1.5 ms/frame)
     if culled:
         glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)  # (ng, 3) x2
-        rb = accel.ray_tile_bounds(
-            jnp.broadcast_to(ro, rd_f.shape), rd_f, INF, tile=1024
-        )
+        rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
         cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
 
     def worklists(cull_sub):
@@ -1447,6 +1472,7 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
 
     # ---- closest-hit chain ----
     accs = None
+    bounds = None
     for k, (ga, gb) in enumerate(ranges):
         ngl = gb - ga
         Tl = ngl * MEGA2_G
@@ -1457,9 +1483,10 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
             wl_k = jnp.zeros((nt, max(ngl, 1)), jnp.int32)
             cnt_k = jnp.full((nt, 1), ngl, jnp.int32)
         first = k == 0
+        last = k == len(ranges) - 1
         kern = _make_mega2_closest_kernel(
             config, S if first else 0, P if first else 0, Tl, ngl, W, H, tiled,
-            first, culled,
+            first, culled, last=last,
         )
         in_specs = [
             smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
@@ -1475,44 +1502,42 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
             in_specs += [vtile] * 11
             ins += list(accs)
             aliases = {6 + j: j for j in range(11)}
-        accs = pl.pallas_call(
+        out_specs = [vtile] * 11
+        out_shape = [acc_shape] * 11
+        if last:
+            out_specs.append(pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                                          memory_space=pltpu.SMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nt, 1, 8), jnp.float32))
+        outs = pl.pallas_call(
             kern,
             grid=(nt,),
             in_specs=in_specs,
-            out_specs=[vtile] * 11,
-            out_shape=[acc_shape] * 11,
+            out_specs=out_specs,
+            out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=interpret,
         )(*ins)
+        if last:
+            accs, bounds = outs[:11], outs[11]
+        else:
+            accs = outs
 
     t_acc, nx_a, ny_a, nz_a = accs[0], accs[1], accs[2], accs[3]
 
     if L == 0:
         return jnp.zeros((H, W, 3), jnp.float32)  # no lights -> black (W1)
 
-    # ---- XLA: shadow-ray cull worklists from the closest-hit depths ----
+    # ---- XLA: shadow-ray cull worklists from the kernel-emitted tile
+    # AABBs of offset hit points — O(tiles), no per-ray shadow arrays ----
     sh_wl = sh_cnt = None
     if culled and config.shadows:
-        t_flat = t_acc.reshape(-1)[: nt * 1024]
-        n_flat = jnp.stack(
-            [a.reshape(-1)[: nt * 1024] for a in (nx_a, ny_a, nz_a)], axis=1
-        )
-        rdp = _pad_axis(rd_f, 0, 1024, 0.0)
-        hit_f = jnp.isfinite(t_flat)
-        p_off = (
-            ro[None, :]
-            + jnp.where(hit_f, t_flat, 0.0)[:, None] * rdp
-            + n_flat * jnp.float32(config.normal_offset)
-        )
+        bb_lo, bb_hi = bounds[:, 0, 0:3], bounds[:, 0, 3:6]
         wls = []
         for li_i in range(L):
-            ld, mag = _shading.direction_to_light(scene.lights, li_i, p_off)
-            # a missed ray needs no shadow test: zero-length segment
-            mag = jnp.where(hit_f, mag, 0.0)
             is_pt = scene.lights.kind[li_i] == LightKind.POINT
-            wls.append(accel.shadow_cull_matrix(
-                p_off, ld, mag, scene.lights.position[li_i], is_pt,
-                glo, ghi, tmin))
+            wls.append(accel.light_shadow_cull_from_aabb(
+                bb_lo, bb_hi, scene.lights.position[li_i],
+                scene.lights.direction[li_i], is_pt, glo, ghi, tmin))
         sh_cull = jnp.stack(wls, axis=1)  # (nt, L, ng)
 
     # ---- shadow + shade chain ----
@@ -1728,7 +1753,8 @@ def _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse):
     def kernel(*refs):
         cam_ref, sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:7]
         out_refs = refs[7:18]
-        scratch, sems = refs[18], refs[19]
+        bb_ref = refs[18]
+        scratch, sems = refs[19], refs[20]
         i = pl.program_id(0)
         sg_cnt = cnt_ref[0, 0, 0]
         g_cnt = cnt_ref[0, 0, 1]
@@ -1788,6 +1814,7 @@ def _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse):
         )
         for ref, reg in zip(out_refs, acc):
             ref[:] = reg
+        _emit_hit_bounds(bb_ref, config, acc, rox, roy, roz, rdx, rdy, rdz)
 
     return kernel
 
@@ -1938,16 +1965,14 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     pln_in = pln if P else jnp.zeros((1, 11), jnp.float32)
     li_in = li if L else jnp.zeros((1, 8), jnp.float32)
 
-    # ---- XLA: primary-ray worklists ----
-    ro, rd = _renderer.generate_rays(scene.camera, config)
-    rd_f = _mega2_fold(rd, H, W) if tiled else rd
-    rb = accel.ray_tile_bounds(jnp.broadcast_to(ro, rd_f.shape), rd_f, INF, tile=1024)
+    # ---- XLA: primary-ray worklists (O(tiles): analytic camera bounds) ----
+    rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
     cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
     sg_wl, g_wl, cnts = mega3_worklists(cullm)
 
     # ---- closest-hit launch ----
     kern = _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse)
-    accs = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(nt,),
         in_specs=[
@@ -1955,39 +1980,32 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
             smem_t((1, 1, nsg)), smem_t((1, 1, nge)), smem_t((1, 1, 2)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[vtile] * 11,
-        out_shape=[acc_shape] * 11,
+        out_specs=[vtile] * 11 + [
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)],
+        out_shape=[acc_shape] * 11 + [
+            jax.ShapeDtypeStruct((nt, 1, 8), jnp.float32)],
         scratch_shapes=ring,
         interpret=interpret,
     )(cam, sph_in, pln_in, sg_wl[:, None, :], g_wl[:, None, :],
       cnts[:, None, :], blob)
+    accs, bounds = outs[:11], outs[11]
 
     t_acc, nx_a, ny_a, nz_a = accs[0], accs[1], accs[2], accs[3]
 
     if L == 0:
         return jnp.zeros((H, W, 3), jnp.float32)  # no lights -> black (W1)
 
-    # ---- XLA: per-light shadow worklists from the closest-hit depths ----
+    # ---- XLA: per-light shadow worklists from the kernel-emitted tile
+    # AABBs of offset hit points (O(tiles)) ----
     stream = bool(config.shadows) and T > 0
     if stream:
-        t_flat = t_acc.reshape(-1)[: nt * 1024]
-        n_flat = jnp.stack(
-            [a.reshape(-1)[: nt * 1024] for a in (nx_a, ny_a, nz_a)], axis=1
-        )
-        rdp = _pad_axis(rd_f, 0, 1024, 0.0)
-        hit_f = jnp.isfinite(t_flat)
-        p_off = (
-            ro[None, :]
-            + jnp.where(hit_f, t_flat, 0.0)[:, None] * rdp
-            + n_flat * jnp.float32(config.normal_offset)
-        )
+        bb_lo, bb_hi = bounds[:, 0, 0:3], bounds[:, 0, 3:6]
         sgl, gl, cl = [], [], []
         for li_i in range(L):
-            ld, mag = _shading.direction_to_light(scene.lights, li_i, p_off)
-            mag = jnp.where(hit_f, mag, 0.0)  # missed ray: zero-length segment
             is_pt = scene.lights.kind[li_i] == LightKind.POINT
-            cm = accel.shadow_cull_matrix(
-                p_off, ld, mag, scene.lights.position[li_i], is_pt, glo, ghi, tmin)
+            cm = accel.light_shadow_cull_from_aabb(
+                bb_lo, bb_hi, scene.lights.position[li_i],
+                scene.lights.direction[li_i], is_pt, glo, ghi, tmin)
             s_, g_, c_ = mega3_worklists(cm)
             sgl.append(s_)
             gl.append(g_)
