@@ -1125,6 +1125,12 @@ def render_image_mega_f32(scene: Scene, config: RenderConfig):
 # ---------------------------------------------------------------------------
 
 MEGA2_G = 8  #: triangles per cull group (worklist granularity; swept 4/8/16 on v5e — 8 wins)
+MEGA2_EARLY_EXIT_K = 0  #: shadow all-occluded exit checked every K groups.
+#   DEFAULT OFF — measured a LOSS at every amortization K (probe_earlyexit:
+#   0.97/0.93/0.85x at K=4/8/16 on bunny, 0.88/0.88/0.84x on optional): the
+#   while_loop's scalar cond still serializes Mosaic's iteration pipeline,
+#   as round 2 found for the per-iteration variant.  Kept for re-testing on
+#   future Mosaic versions.
 MEGA2_MAX_SMEM_TRIS = 1200  #: per-launch SMEM triangle budget (~94 KB of 128)
 MEGA2_MAX_LAUNCHES = 8  #: chain cap -> mega2 serves up to 9600 triangles
 MEGA2_MAX_LIGHTS = 8
@@ -1346,11 +1352,32 @@ def _make_mega2_shadow_kernel(config, S, P, Tl, ngl, L, W, H, tiled, first, last
                             occf = jnp.where(tc < INF, 1.0, occf)
                         return occf
 
-                    if culled:
-                        # NOTE: an all-occluded early exit (while_loop whose
-                        # cond reduces occf) measured 8-24% SLOWER than this
-                        # plain fori — the scalar reduction serializes the
-                        # loop and kills Mosaic's iteration pipelining
+                    if culled and MEGA2_EARLY_EXIT_K:
+                        # all-occluded early exit, AMORTIZED: round 2 found a
+                        # per-iteration reduce 8-24% slower (it serializes the
+                        # loop), so the while cond reduces occf only once per
+                        # K-group chunk.  Entries past the count clamp to the
+                        # worklist tail — folding a duplicate or non-passing
+                        # group cannot change occlusion (cull=0 guarantees no
+                        # segment hit), so no inner masking is needed.
+                        K = MEGA2_EARLY_EXIT_K
+
+                        def chunk(state, li=li, fold_group=fold_group):
+                            j, occf = state
+
+                            def inner(k, occf, li=li, fold_group=fold_group):
+                                g = wl_ref[0, li, jnp.minimum(j + k, ngl - 1)]
+                                return fold_group(g * MEGA2_G, occf)
+
+                            return j + K, jax.lax.fori_loop(0, K, inner, occf)
+
+                        def not_done(state, li=li):
+                            j, occf = state
+                            return (j < cnts[li]) & (jnp.min(occf) < 0.5)
+
+                        _, occf = jax.lax.while_loop(
+                            not_done, chunk, (jnp.int32(0), occf))
+                    elif culled:
                         def body(j, occf, li=li, fold_group=fold_group):
                             g = wl_ref[0, li, j]
                             return fold_group(g * MEGA2_G, occf)
