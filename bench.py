@@ -43,8 +43,11 @@ ORCH_PHASES = [
     ("forward", "reference", "640x480", 64, 3),
     ("forward", "reference", "640x480", 64, 3),
     ("forward", "bunny", "640x480", 16, 3),
+    ("forward", "bunny", "1920x1088", 8, 3),
     ("forward", "optional", "640x480", 16, 3),
+    ("forward", "bunny50k", "640x480", 4, 2),  # mega3 DMA-streamed worklists
     ("grad", "optional", "640x480", 8, 2),
+    ("grad", "bunny50k", "640x480", 2, 2),  # streamed differentiable path
 ]
 
 
@@ -229,12 +232,13 @@ def orchestrate(args) -> int:
     extras = {"reference_windows": len(headline),
               "reference_fwd_ms": round(best["ms_per_frame"], 3)}
     for r in results:
+        tag = r["scene"] if r["size"] == "640x480" else f"{r['scene']}_{r['size']}"
         if r["kind"] == "forward" and r["scene"] != "reference":
-            extras[f"{r['scene']}_fwd_ms"] = round(r["ms_per_frame"], 3)
-            extras[f"{r['scene']}_fwd_rays_per_s"] = round(r["rays_per_s"])
+            extras[f"{tag}_fwd_ms"] = round(r["ms_per_frame"], 3)
+            extras[f"{tag}_fwd_rays_per_s"] = round(r["rays_per_s"])
         elif r["kind"] == "grad":
-            extras[f"{r['scene']}_fwd_bwd_ms"] = round(r["ms_per_frame"], 3)
-            extras[f"{r['scene']}_fwd_bwd_vs_baseline_frame"] = round(
+            extras[f"{tag}_fwd_bwd_ms"] = round(r["ms_per_frame"], 3)
+            extras[f"{tag}_fwd_bwd_vs_baseline_frame"] = round(
                 BASELINE_FRAME_MS / r["ms_per_frame"], 2)
     print(json.dumps({
         "metric": "primary_rays_per_s",

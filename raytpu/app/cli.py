@@ -101,9 +101,6 @@ def main(argv=None) -> int:
     if args.ssaa < 1:
         print(f"error: --ssaa must be >= 1 (got {args.ssaa})", file=sys.stderr)
         return 2
-    if args.shard and args.ssaa > 1:
-        print("error: --shard does not compose with --ssaa yet", file=sys.stderr)
-        return 2
     soft_kw = {}
     if args.soft_shadows:
         soft_kw["soft_shadows"] = True
@@ -117,6 +114,7 @@ def main(argv=None) -> int:
         import functools as _ft
 
         from raytpu.parallel import make_mesh, render_image_sharded
+        from raytpu.parallel.sharding import _render_sharded_jit
 
         try:
             px, prim = (int(x) for x in args.shard.lower().split("x"))
@@ -125,19 +123,28 @@ def main(argv=None) -> int:
             print(f"error: --shard must be PXxPRIM matching the device count ({e})",
                   file=sys.stderr)
             return 2
-        backend = "pallas" if args.renderer in ("auto", "pallas") else "jnp"
-        render_fn = _ft.partial(render_image_sharded, mesh=mesh, backend=backend)
-        backend = f"shard({px}x{prim},{backend})"
+        shard_backend = "pallas" if args.renderer in ("auto", "pallas") else "jnp"
+        render_fn = _ft.partial(render_image_sharded, mesh=mesh, backend=shard_backend)
+        # SSAA composes with sharding: the supersampled grid is just a bigger
+        # ray grid for the px axis (box filter applied after the gather)
+        base_f32 = _ft.partial(_render_sharded_jit, mesh=mesh, backend=shard_backend)
+        backend = f"shard({px}x{prim},{shard_backend})"
     else:
         render_fn, backend = make_render_fn(args.renderer)
+        base_f32 = None
     if args.ssaa > 1:
         import functools as _ft
 
-        from raytpu.render import pallas_kernel as _pk
         from raytpu.render.renderer import render_image_ssaa
         from raytpu.render.renderer import render_image_f32 as _jnp_f32
 
-        base_f32 = _pk.render_image_f32 if backend == "pallas" else _jnp_f32
+        if base_f32 is None:
+            if backend == "pallas":
+                from raytpu.render import pallas_kernel as _pk
+
+                base_f32 = _pk.render_image_f32
+            else:
+                base_f32 = _jnp_f32
         render_fn = _ft.partial(render_image_ssaa, samples=args.ssaa, render_fn=base_f32)
     print(f"raytpu: scene={args.scene} {w}x{h} mode={args.mode} shadows={config.shadows} "
           f"backend={backend} ssaa={args.ssaa}")

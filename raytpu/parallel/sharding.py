@@ -82,6 +82,9 @@ def _mega2_fits(scene: Scene) -> bool:
         scene.triangles.count <= ps.MAX_TRIS
         and scene.spheres.count <= pk.MEGA2_MAX_UNROLL
         and scene.planes.count <= pk.MEGA2_MAX_UNROLL
+        # the shadow kernels unroll per light: a >MAX_LIGHTS scene would
+        # build an over-unrolled kernel (compile blowup, not wrong pixels)
+        and scene.lights.count <= pk.MEGA2_MAX_LIGHTS
     )
 
 

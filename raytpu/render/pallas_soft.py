@@ -36,7 +36,11 @@ from raytpu.render.pallas_kernel import FLT_EPSILON, MEGA2_G, _cdiv, _pad_axis
 
 OCC_MAX = 1.0 - 1e-6  # must match intersect._OCC_MAX
 SOFT_SUPPORT = 20.0  # sigmoid tail cut: clip where beta*margin < -SOFT_SUPPORT
-MAX_TRIS = pk.MEGA2_MAX_SMEM_TRIS * pk.MEGA2_MAX_LAUNCHES  # chain ceiling
+MAX_TRIS = pk.MEGA2_MAX_SMEM_TRIS * pk.MEGA2_MAX_LAUNCHES  # SMEM-chain ceiling
+#: past the SMEM chain the kernels stream triangles mega3-style (DMA ring);
+#: this is the differentiable path's hard ceiling (== the forward path's)
+STREAM_MAX_TRIS = pk.MEGA3_MAX_TRIS
+SOFT_SG_COLS = 14  # streamed record: 13 geometry cols + global triangle id
 
 
 def _occ(margin, gate, beta):
@@ -77,14 +81,21 @@ def _plane_soft_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
 
 
 def _tri_soft_reg(tri_ref, k, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
-    """(8,128) soft occlusion of SMEM triangle ``k``: signed barycentric
-    distance to the boundary, shadow-pass culling
-    (raytpu/ops/intersect.py:345-376)."""
-    v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
-    e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
-    e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
-    nx, ny, nz = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
-    cull = tri_ref[k, 12]
+    """(8,128) soft occlusion of SMEM triangle ``k`` (see _tri_soft_read)."""
+    return _tri_soft_read(lambda c: tri_ref[k, c], ox, oy, oz, dx, dy, dz,
+                          tmin, tmax, beta)
+
+
+def _tri_soft_read(read, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
+    """(8,128) soft occlusion of the triangle whose 13 scalars come via
+    ``read(col)`` (an SMEM blob row for the chain kernels, a DMA ring slot
+    for the streamed ones): signed barycentric distance to the boundary,
+    shadow-pass culling (raytpu/ops/intersect.py:345-376)."""
+    v0x, v0y, v0z = read(0), read(1), read(2)
+    e1x, e1y, e1z = read(3), read(4), read(5)
+    e2x, e2y, e2z = read(6), read(7), read(8)
+    nx, ny, nz = read(9), read(10), read(11)
+    cull = read(12)
     cull_dot = nx * dx + ny * dy + nz * dz
     not_par = jnp.abs(cull_dot) >= FLT_EPSILON
     cull_eff = jnp.where(cull == 2.0, 2.0, 1.0 - cull)  # shadow pass inverts

@@ -108,6 +108,22 @@ def test_sharded_render_tiled_bit_identical(single_device_image):
     np.testing.assert_array_equal(img, ref)
 
 
+def test_sharded_ssaa_matches_single_device():
+    """SSAA composes with sharding (VERDICT r3 weak #5): the supersampled
+    grid shards like any other resolution, box filter applied after."""
+    from raytpu.parallel.sharding import _render_sharded_jit
+    from raytpu.render.renderer import render_image_f32, render_image_ssaa
+
+    bunny = scenes.get("bunny").build()
+    cfg = RenderConfig(width=32, height=24)
+    ref = np.asarray(render_image_ssaa(bunny, cfg, samples=2,
+                                       render_fn=render_image_f32))
+    mesh = make_mesh(px=4, prim=2)
+    base = lambda s, c: _render_sharded_jit(s, c, mesh, "jnp")
+    img = np.asarray(render_image_ssaa(bunny, cfg, samples=2, render_fn=base))
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_sharded_train_step_tiled_kernels_matches(monkeypatch):
     """Sharded step with the Pallas soft kernels forced (interpret mode) and
     a 32-divisible resolution — exercises the mega2 ray/target fold inside
