@@ -7,6 +7,7 @@ selection becomes a registry lookup instead of editing main.cpp.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, NamedTuple
 
@@ -315,6 +316,8 @@ REGISTRY: dict[str, SceneSpec] = {
     "bunny": SceneSpec(scene_w4_bunny, _cos_yaw, "lowpoly bunny x2"),
     "bunny50k": SceneSpec(scene_bunny_subdiv, _cos_yaw,
                           "bunny subdivided 4x (~76k tris): streamed-kernel stress"),
+    "bunny300k": SceneSpec(functools.partial(scene_bunny_subdiv, 5), _cos_yaw,
+                           "bunny subdivided 5x (~300k tris): past MEGA3_MAX_TRIS"),
     "optional": SceneSpec(scene_w4_optional, _cos_yaw, "Assignment3D1 x0.03 CT orange"),
 }
 

@@ -46,8 +46,34 @@ def _pallas_min_t(scene, ro, rd, tmin):
     return pallas_soft.scene_min_t_mega2(scene, ro, rd, tmin)
 
 
+def _payload_closest_hit(scene, ro, rd, tmin):
+    """Fully-detached closest hit: the winner-search kernel emits the hit
+    payload (normal, material) from its own fold registers, so the XLA
+    payload-assembly one-hot matmuls (and their remat recompute + VJP
+    transposes) vanish.  Values match ``detached_closest_hit`` bit-for-bit;
+    what is lost is ONLY the visible-surface geometry gradient (∂image/∂
+    geometry through the hit point/normal).  Occluder-geometry gradients
+    still flow through the soft transmittance, and material/light gradients
+    are untouched (they never pass through the payload).  Select with
+    ``render_soft_f32(..., payload_grad=False)``."""
+    from raytpu.ops import intersect
+    from raytpu.render import pallas_soft
+
+    sg = jax.lax.stop_gradient
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    t, idx, normal, mat = pallas_soft.scene_min_t_mega2(
+        sg(scene), sg(ro_b), sg(rd), tmin, payload=True)
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    point = ro_b + t_safe[:, None] * rd
+    return intersect.HitRecords(
+        hit=hit, t=jnp.where(hit, t, jnp.inf), point=point,
+        normal=normal, material=mat,
+    )
+
+
 def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,
-                  kernels: bool | None = None):
+                  kernels: bool | None = None, payload_grad: bool = True):
     """Resolve ``(closest_fn, soft_multi_fn)`` for the fast differentiable
     path.  ``kernels=None`` auto-enables the Pallas custom-VJP kernels on
     TPU when the scene fits their budgets (also used by the sharded train
@@ -58,7 +84,7 @@ def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,
 
         kernels = (
             jax.default_backend() not in ("cpu",)
-            and KERNEL_MIN_TRIS <= scene.triangles.count <= _ps.MAX_TRIS
+            and KERNEL_MIN_TRIS <= scene.triangles.count <= _ps.STREAM_MAX_TRIS
             and scene.spheres.count <= _pk.MEGA2_MAX_UNROLL
             and scene.planes.count <= _pk.MEGA2_MAX_UNROLL
             and scene.lights.count <= _pk.MEGA2_MAX_LIGHTS
@@ -69,14 +95,17 @@ def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,
         soft_multi_fn = functools.partial(
             soft_trans_lights, True, float(cfg.ray_min), float(cfg.soft_beta)
         )
-        if detached:
+        if detached and payload_grad:
             closest_fn = functools.partial(detached_closest_hit, min_t_fn=_pallas_min_t)
+        elif detached:
+            closest_fn = _payload_closest_hit
     return closest_fn, soft_multi_fn
 
 
-@functools.partial(jax.jit, static_argnames=("config", "detached", "kernels"))
+@functools.partial(jax.jit, static_argnames=("config", "detached", "kernels",
+                                             "payload_grad"))
 def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
-                    kernels: bool | None = None):
+                    kernels: bool | None = None, payload_grad: bool = True):
     """f32 soft-shadow render on the FAST differentiable path.
 
     Three measured wins over naive ``grad(render)`` (PERF.md round 2):
@@ -93,7 +122,8 @@ def render_soft_f32(scene: Scene, config: RenderConfig, detached: bool = True,
         the jnp path's gradients.
     """
     cfg = dataclasses.replace(config, soft_shadows=True)
-    closest_fn, soft_multi_fn = soft_backends(scene, cfg, detached, kernels)
+    closest_fn, soft_multi_fn = soft_backends(scene, cfg, detached, kernels,
+                                              payload_grad)
     ro, rd = renderer.generate_rays(scene.camera, cfg)
     # tile order for the kernel path: 32x32 pixel blocks give the culled
     # kernels tight per-1024-ray direction cones (and spatially compact

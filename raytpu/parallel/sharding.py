@@ -79,7 +79,7 @@ def _mega2_fits(scene: Scene) -> bool:
     from raytpu.render import pallas_soft as ps
 
     return (
-        scene.triangles.count <= ps.MAX_TRIS
+        scene.triangles.count <= ps.STREAM_MAX_TRIS
         and scene.spheres.count <= pk.MEGA2_MAX_UNROLL
         and scene.planes.count <= pk.MEGA2_MAX_UNROLL
         # the shadow kernels unroll per light: a >MAX_LIGHTS scene would
@@ -93,36 +93,28 @@ def _local_closest_hit(scene: Scene, ro, rd, tmin, tri_prio_offset, use_pallas: 
     plus a global priority id so the merge reproduces the reference's
     iteration-order tie-break (sphere < plane < triangle, low index first).
 
-    ``use_pallas`` routes the per-chip query through the fused VMEM kernels —
-    the mega2 scalar-broadcast winner search when the shard fits its budgets
-    (the layout that wins, PERF.md round 2), else the chunked fold kernels —
-    the same code paths the single-chip flagship runs."""
+    ``use_pallas`` routes the per-chip query through the fused kernels: the
+    mega2 scalar-broadcast winner search (the layout that wins, PERF.md
+    round 2), DMA-streamed past its SMEM budget (mega3 layout), for any
+    shard up to STREAM_MAX_TRIS; only shards past that (or past the
+    sphere/plane/light unroll budgets) fall back to the jnp t-matrix.  The
+    (RT, CT) chunked ``pk.scene_min_t`` is no longer routed here — it
+    measured a 5-8x LOSS in this role (PERF.md round 2)."""
     S, Pn = scene.spheres.count, scene.planes.count
     if use_pallas and _mega2_fits(scene):
         from raytpu.render import pallas_soft as ps
 
         ro_b = jnp.broadcast_to(ro, rd.shape)
-        t, idx = ps.scene_min_t_mega2(scene, ro_b, rd, float(tmin))
-        rec = intersect.assemble_hit_records(scene, ro_b, rd, t, idx)
-    elif use_pallas:
-        from raytpu.core import math3d
-        from raytpu.render import pallas_kernel as pk
-
-        R = rd.shape[0]
-        rays = pk.pack_rays(ro, rd, jnp.inf)
-        t, idx, nx, ny, nz, mat = pk.scene_min_t(scene, rays, float(tmin), shadow_pass=False)
-        t, idx = t[:R], idx[:R]
-        normal = jnp.stack([nx[:R], ny[:R], nz[:R]], axis=1)
-        is_sphere = idx < S
-        normal = jnp.where(is_sphere[:, None], math3d.normalize_safe(normal), normal)
+        # payload=True: the kernel emits the winner's (normal, material)
+        # from its own fold registers — no XLA one-hot payload assembly
+        # (bit-identical to assemble_hit_records; tests pin it)
+        t, idx, normal, mat = ps.scene_min_t_mega2(
+            scene, ro_b, rd, float(tmin), payload=True)
         hit = jnp.isfinite(t)
         t_safe = jnp.where(hit, t, 0.0)
         rec = intersect.HitRecords(
-            hit=hit,
-            t=jnp.where(hit, t, jnp.inf),
-            point=ro + t_safe[:, None] * rd,
-            normal=normal,
-            material=mat[:R].astype(jnp.int32),
+            hit=hit, t=jnp.where(hit, t, jnp.inf),
+            point=ro_b + t_safe[:, None] * rd, normal=normal, material=mat,
         )
     else:
         rec = intersect.closest_hit(scene, ro, rd, tmin)

@@ -1661,7 +1661,10 @@ MEGA3_RING_COARSE = 4  #: shallower ring in coarse mode (fewer, bigger folds)
 MEGA3_FINE_MAX_G = 4096  #: per-GROUP worklists up to this many groups; the
 #   worklist SMEM is O(ng) per tile, so bigger scenes switch to COARSE mode
 #   (one worklist entry = one whole super-group, folded unconditionally)
-MEGA3_MAX_TRIS = 131072  #: coarse worklist SMEM cap (3 lights x 2 arrays)
+MEGA3_WL_SMEM_ENTRIES = 8192  #: per-tile worklist SMEM budget (int32 entries,
+#   summed over lights); past it COARSE2 lifts entries to super-super-groups
+#   (8 sgs = 512 triangles each), keeping the worklist O(T/512) per tile
+MEGA3_MAX_TRIS = 1048576  #: coarse2 ceiling (nssg = 2048 per light at 1M)
 
 
 def pack_triangles_sg(tri_blob):
@@ -1669,13 +1672,26 @@ def pack_triangles_sg(tri_blob):
     (MEGA2_G=8 triangles x 20 cols each, 160 used of 256 lanes); 8
     consecutive rows = one (8, 256) DMA super-group.  Padded triangles are
     degenerate (all-zero -> every test misses)."""
-    tb = _pad_axis(tri_blob, 0, 8 * MEGA2_G, 0.0)
+    # pad to 512 triangles (a full super-super-group) so every DMA any
+    # streaming mode can issue — including coarse2's unconditional 8-sg
+    # expansion — stays inside the blob
+    tb = _pad_axis(tri_blob, 0, 8 * 8 * MEGA2_G, 0.0)
     ng = tb.shape[0] // MEGA2_G
     rows = tb.reshape(ng, MEGA2_G * 20)
     return jnp.pad(rows, ((0, 0), (0, 256 - MEGA2_G * 20)))
 
 
-def mega3_worklists(cull):
+def mega3_mode(ng: int, n_lights: int) -> str:
+    """Streaming worklist mode for ``ng`` cull groups x ``n_lights``
+    worklists sharing the per-tile SMEM budget."""
+    if ng <= MEGA3_FINE_MAX_G:
+        return "fine"
+    if max(n_lights, 1) * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES:
+        return "coarse"
+    return "coarse2"
+
+
+def mega3_worklists(cull, mode=None):
     """(nt, ng) cull matrix -> streaming worklists with ALL per-entry scalar
     control precomputed in XLA (the kernel's inner loop pays one SMEM read +
     a few bit tests per entry).
@@ -1688,10 +1704,23 @@ def mega3_worklists(cull):
         bit  [6]    wait   — first entry of its super-group: wait the DMA
         bit  [7]    issue  — last entry: prefetch super-group rank+RING
         bits [8:]   sg     — super-group id to prefetch (when issue is set)
-    ``counts`` = [sg_cnt, g_cnt].  Entries past the counts are never read."""
+    ``counts`` = [sg_cnt, g_cnt].  Entries past the counts are never read.
+
+    In ``coarse2`` mode the first return is instead the SUPER-super-group
+    worklist (nt, nssg) — passing ssg ids ascending, one entry per 512
+    triangles, all control derived in-kernel (``_mega3_stream_ssg``) — and
+    ``g_wl`` is a (nt, 1) dummy; counts = [ssg_cnt, ssg_cnt]."""
     nt, ng = cull.shape
     nsg = ng // 8
-    coarse = ng > MEGA3_FINE_MAX_G
+    if mode is None:
+        mode = "coarse" if ng > MEGA3_FINE_MAX_G else "fine"
+    if mode == "coarse2":
+        nssg = nsg // 8
+        ssgp = cull.reshape(nt, nssg, 64).max(axis=2)
+        ssg_wl, ssg_cnt = chunk_worklist(ssgp)
+        return ssg_wl, jnp.zeros((nt, 1), jnp.int32), \
+            jnp.concatenate([ssg_cnt, ssg_cnt], axis=1)
+    coarse = mode == "coarse"
     D = MEGA3_RING_COARSE if coarse else MEGA3_RING
     sgp = cull.reshape(nt, nsg, 8).max(axis=2)
     sg_wl, sg_cnt = chunk_worklist(sgp)
@@ -1771,11 +1800,58 @@ def _mega3_stream(blob_ref, scratch, sems, sgwl, gwl, sg_cnt, g_cnt,
     return jax.lax.fori_loop(0, g_cnt, body, acc)
 
 
-def _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse):
+def _mega3_stream_ssg(blob_ref, scratch, sems, ssgwl, ssg_cnt, fold_entry, acc):
+    """Coarse2 streaming: worklist entries are SUPER-super-groups (8 sgs =
+    512 triangles); all 8 sgs of a passing ssg are DMA'd and folded
+    unconditionally.  Control needs no packed bits — for global sg rank
+    ``r``: sg id = ssgwl(r//8)*8 + r%8, ring slot = r % D."""
+    D = scratch.shape[0]
+    total = ssg_cnt * 8
+
+    def sg_of(r):
+        return ssgwl(r // 8) * 8 + jax.lax.rem(r, 8)
+
+    def copy(sg, slot):
+        return pltpu.make_async_copy(
+            blob_ref.at[pl.ds(sg * 8, 8), :], scratch.at[slot], sems.at[slot]
+        )
+
+    def prologue(k, c):
+        copy(sg_of(k), jax.lax.rem(k, D)).start()
+        return c
+
+    jax.lax.fori_loop(0, jnp.minimum(total, D), prologue, 0)
+
+    def body(r, acc):
+        slot = jax.lax.rem(r, D)
+        copy(0, slot).wait()
+        acc = fold_entry(slot, 0, acc)  # coarse fold: all 8 group rows
+
+        @pl.when(r + D < total)
+        def _():
+            copy(sg_of(r + D), slot).start()
+
+        return acc
+
+    return jax.lax.fori_loop(0, total, body, acc)
+
+
+def _mega3_dispatch(mode, blob_ref, scratch, sems, sgwl, gwl, sg_cnt, g_cnt,
+                    fold_entry, acc):
+    """Route one worklist stream by mode (fine/coarse share the packed-entry
+    streamer; coarse2 derives control in-kernel)."""
+    if mode == "coarse2":
+        return _mega3_stream_ssg(blob_ref, scratch, sems, sgwl, sg_cnt,
+                                 fold_entry, acc)
+    return _mega3_stream(blob_ref, scratch, sems, sgwl, gwl, sg_cnt, g_cnt,
+                         fold_entry, acc)
+
+
+def _make_mega3_closest_kernel(config, S, P, W, H, tiled, mode):
     """Single-launch closest hit: sphere/plane unrolls + streamed triangle
     worklist.  Same accumulator payload as the mega2 chain."""
     tmin = float(config.ray_min)
-    rows = range(8) if coarse else (None,)
+    rows = (None,) if mode == "fine" else range(8)
 
     def kernel(*refs):
         cam_ref, sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:7]
@@ -1834,8 +1910,8 @@ def _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse):
                               _mat_read(read, 13), acc)
             return acc
 
-        acc = _mega3_stream(
-            blob_ref, scratch, sems,
+        acc = _mega3_dispatch(
+            mode, blob_ref, scratch, sems,
             lambda k: sgwl_ref[0, 0, k], lambda q: gwl_ref[0, 0, q],
             sg_cnt, g_cnt, fold_entry, acc,
         )
@@ -1846,14 +1922,14 @@ def _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse):
     return kernel
 
 
-def _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, coarse, stream):
+def _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, mode, stream):
     """Single-launch shadow + shade: per-light sphere/plane occlusion
     unrolls + streamed triangle worklists, then the whole RenderPixel tail
     (reference: source/Renderer.cpp:120-182) in-kernel."""
     tmin = float(config.ray_min)
     shadows = bool(config.shadows)
     mode_name = config.lighting_mode.name
-    rows = range(8) if coarse else (None,)
+    rows = (None,) if mode == "fine" else range(8)
 
     def kernel(*refs):
         cam_ref, sph_ref, pl_ref, li_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:8]
@@ -1917,8 +1993,8 @@ def _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, coarse, stream):
                                 occf = jnp.where(tc < INF, 1.0, occf)
                         return occf
 
-                    occf = _mega3_stream(
-                        blob_ref, scratch, sems,
+                    occf = _mega3_dispatch(
+                        mode, blob_ref, scratch, sems,
                         lambda k, li=li: sgwl_ref[0, li, k],
                         lambda q, li=li: gwl_ref[0, li, q],
                         cnts[li][0], cnts[li][1], fold_entry, occf,
@@ -1977,9 +2053,12 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     glo = jnp.pad(glo, ((0, pad), (0, 0)), constant_values=jnp.inf)
     ghi = jnp.pad(ghi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
 
-    coarse = ng > MEGA3_FINE_MAX_G
-    nge = nsg if coarse else ng  # packed worklist length per tile
-    D = MEGA3_RING_COARSE if coarse else MEGA3_RING
+    mode = mega3_mode(ng, L if (config.shadows and T) else 1)
+    nssg = nsg // 8
+    # first worklist (DMA issue order) and packed-entry worklist lengths
+    nwl1 = nssg if mode == "coarse2" else nsg
+    nge = {"fine": ng, "coarse": nsg, "coarse2": 1}[mode]
+    D = MEGA3_RING if mode == "fine" else MEGA3_RING_COARSE
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
     smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1995,16 +2074,16 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     # ---- XLA: primary-ray worklists (O(tiles): analytic camera bounds) ----
     rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
     cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
-    sg_wl, g_wl, cnts = mega3_worklists(cullm)
+    sg_wl, g_wl, cnts = mega3_worklists(cullm, mode)
 
     # ---- closest-hit launch ----
-    kern = _make_mega3_closest_kernel(config, S, P, W, H, tiled, coarse)
+    kern = _make_mega3_closest_kernel(config, S, P, W, H, tiled, mode)
     outs = pl.pallas_call(
         kern,
         grid=(nt,),
         in_specs=[
             smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
-            smem_t((1, 1, nsg)), smem_t((1, 1, nge)), smem_t((1, 1, 2)),
+            smem_t((1, 1, nwl1)), smem_t((1, 1, nge)), smem_t((1, 1, 2)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[vtile] * 11 + [
@@ -2033,27 +2112,27 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
             cm = accel.light_shadow_cull_from_aabb(
                 bb_lo, bb_hi, scene.lights.position[li_i],
                 scene.lights.direction[li_i], is_pt, glo, ghi, tmin)
-            s_, g_, c_ = mega3_worklists(cm)
+            s_, g_, c_ = mega3_worklists(cm, mode)
             sgl.append(s_)
             gl.append(g_)
             cl.append(c_)
-        sh_sg = jnp.stack(sgl, axis=1)  # (nt, L, nsg)
+        sh_sg = jnp.stack(sgl, axis=1)  # (nt, L, nwl1)
         sh_g = jnp.stack(gl, axis=1)  # (nt, L, ng)
         sh_c = jnp.stack(cl, axis=1)  # (nt, L, 2)
     else:
-        sh_sg = jnp.zeros((nt, max(L, 1), nsg), jnp.int32)
+        sh_sg = jnp.zeros((nt, max(L, 1), nwl1), jnp.int32)
         sh_g = jnp.zeros((nt, max(L, 1), nge), jnp.int32)
         sh_c = jnp.zeros((nt, max(L, 1), 2), jnp.int32)
 
     # ---- shadow + shade launch ----
-    kern = _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, coarse, stream)
+    kern = _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, mode, stream)
     colors = pl.pallas_call(
         kern,
         grid=(nt,),
         in_specs=[
             smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
             smem((max(L, 1), 8)),
-            smem_t((1, max(L, 1), nsg)), smem_t((1, max(L, 1), nge)),
+            smem_t((1, max(L, 1), nwl1)), smem_t((1, max(L, 1), nge)),
             smem_t((1, max(L, 1), 2)),
             pl.BlockSpec(memory_space=pl.ANY),
             vtile, vtile, vtile, vtile,
@@ -2133,8 +2212,8 @@ def render_image_f32(scene: Scene, config: RenderConfig):
         and scene.spheres.count <= MEGA2_MAX_UNROLL
         and scene.planes.count <= MEGA2_MAX_UNROLL
         and scene.lights.count <= MEGA2_MAX_LIGHTS
-        # coarse worklist SMEM: 2 int32 arrays per light of nsg entries
-        and scene.lights.count * _cdiv(scene.triangles.count, 64) <= 8192
+        # coarse2 worklist SMEM: per-light super-super-group entries
+        and scene.lights.count * _cdiv(scene.triangles.count, 512) <= MEGA3_WL_SMEM_ENTRIES
         and not config.soft_shadows
     ):
         # DMA-streamed single-launch kernels: measured ~3x over the (RT, CT)

@@ -40,7 +40,9 @@ MAX_TRIS = pk.MEGA2_MAX_SMEM_TRIS * pk.MEGA2_MAX_LAUNCHES  # SMEM-chain ceiling
 #: past the SMEM chain the kernels stream triangles mega3-style (DMA ring);
 #: this is the differentiable path's hard ceiling (== the forward path's)
 STREAM_MAX_TRIS = pk.MEGA3_MAX_TRIS
-SOFT_SG_COLS = 14  # streamed record: 13 geometry cols + global triangle id
+TRI_COLS = 14  # triangle record: 13 geometry cols + material id
+SP_COLS = 5  # sphere/plane record: 4 geometry cols + material id
+SOFT_SG_COLS = 15  # streamed record: TRI_COLS + global triangle id
 
 
 def _occ(margin, gate, beta):
@@ -120,6 +122,498 @@ def _tri_soft_read(read, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
     return _occ(margin, gate, beta)
 
 
+# ---------------------------------------------------------------------------
+# DMA-streamed variants (mega3 layout): the SMEM launch chain above caps at
+# MAX_TRIS; past it every kernel family here streams (8, 256) super-group
+# row-blocks of a pl.ANY triangle blob through an SMEM ring, driven by the
+# same packed worklists as the forward megakernel v3
+# (pallas_kernel.mega3_worklists).  One launch for any T <= STREAM_MAX_TRIS.
+# ---------------------------------------------------------------------------
+
+
+def _pack_soft_sg(tri_blob):
+    """(T, TRI_COLS) triangle blob -> (ng, 256) DMA rows, stride-SOFT_SG_COLS
+    cols [0:13) the geometry record, col 13 the GLOBAL triangle id (f32 —
+    exact to 2^24, far past STREAM_MAX_TRIS).  Padded triangles are
+    degenerate (zero record -> every gate fails, id never selected)."""
+    T = tri_blob.shape[0]
+    ids = jnp.arange(T, dtype=jnp.float32)[:, None]
+    tb = jnp.concatenate([tri_blob, ids], axis=1)  # (T, SOFT_SG_COLS)
+    # 512-tri pad: every coarse2 ssg DMA stays inside the blob (see
+    # pallas_kernel.pack_triangles_sg)
+    tb = _pad_axis(tb, 0, 8 * 8 * MEGA2_G, 0.0)
+    ng = tb.shape[0] // MEGA2_G
+    rows = tb.reshape(ng, MEGA2_G * SOFT_SG_COLS)
+    return jnp.pad(rows, ((0, 0), (0, 256 - MEGA2_G * SOFT_SG_COLS)))
+
+
+def _padded_group_bounds(tris, ng, beta=None):
+    """Per-group SAH-leaf AABBs padded to the blob's ng with never-pass
+    bounds; ``beta`` adds the soft sigmoid-support slack."""
+    from raytpu.ops import accel
+
+    glo, ghi = accel.chunk_bounds(tris, MEGA2_G)
+    if beta is not None:
+        slack = accel.chunk_soft_slack(tris, beta, MEGA2_G, SOFT_SUPPORT)
+        glo = glo - slack[:, None]
+        ghi = ghi + slack[:, None]
+    pad = ng - glo.shape[0]
+    glo = jnp.pad(glo, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    ghi = jnp.pad(ghi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    return glo, ghi
+
+
+def _stream_shadow_worklists(scene, ro, dirs, mags, tmin, glo, ghi, mode):
+    """Per-light packed streaming worklists -> (sg (nt,L,nwl1),
+    g (nt,L,nge), cnt (nt,L,2)) in the given mega3 mode."""
+    from raytpu.ops import accel
+
+    L = dirs.shape[0]
+    sgl, gl, cl = [], [], []
+    for li in range(L):
+        is_pt = scene.lights.kind[li] == LightKind.POINT
+        cm = accel.shadow_cull_matrix(
+            ro, dirs[li], mags[li], scene.lights.position[li], is_pt,
+            glo, ghi, tmin)
+        s_, g_, c_ = pk.mega3_worklists(cm, mode)
+        sgl.append(s_)
+        gl.append(g_)
+        cl.append(c_)
+    return jnp.stack(sgl, axis=1), jnp.stack(gl, axis=1), jnp.stack(cl, axis=1)
+
+
+def _stream_geometry(scene, n_lights=1):
+    """Shared streamed-kernel geometry: SMEM sphere/plane blobs + the
+    (ng, 256) triangle DMA blob and its ring/mode parameters.  ``nwl1`` is
+    the DMA-issue worklist length (nsg, or nssg in coarse2); ``nge`` the
+    packed-entry worklist length."""
+    sph_blob, pl_blob, tri_blob = _soft_packs(scene)
+    blob = _pack_soft_sg(tri_blob)
+    ng = blob.shape[0]
+    nsg = ng // 8
+    mode = pk.mega3_mode(ng, n_lights)
+    nwl1 = nsg // 8 if mode == "coarse2" else nsg
+    nge = {"fine": ng, "coarse": nsg, "coarse2": 1}[mode]
+    D = pk.MEGA3_RING if mode == "fine" else pk.MEGA3_RING_COARSE
+    ring = [
+        pltpu.SMEM((D, 8, 256), jnp.float32),
+        pltpu.SemaphoreType.DMA((D,)),
+    ]
+    S, P = scene.spheres.count, scene.planes.count
+    sph_in = sph_blob if S else jnp.zeros((1, SP_COLS), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, SP_COLS), jnp.float32)
+    return sph_in, pln_in, blob, ng, nwl1, nge, mode, ring
+
+
+_SMEM0 = lambda shape: pl.BlockSpec(
+    shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+_SMEMT = lambda shape: pl.BlockSpec(
+    shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+_VTILE = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _make_soft_stream_kernel(tmin, beta, S, P, L, mode):
+    """Streamed soft-transmittance: per light, unrolled sphere/plane folds +
+    one `_mega3_stream` pass over that light's packed triangle worklist."""
+    rows = (None,) if mode == "fine" else range(8)
+
+    def kernel(*refs):
+        sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:6]
+        pos = 6
+        px, py, pz = (r[:] for r in refs[pos : pos + 3])
+        pos += 3
+        light_cols = []
+        for _ in range(L):
+            lx, ly, lz, mag = (r[:] for r in refs[pos : pos + 4])
+            pos += 4
+            light_cols.append((lx, ly, lz, mag))
+        out_refs = refs[pos : pos + L]
+        scratch, sems = refs[pos + L], refs[pos + L + 1]
+
+        for li in range(L):
+            lx, ly, lz, mag = light_cols[li]
+            tr = jnp.ones((8, 128), jnp.float32)
+            for s in range(S):
+                tr = tr * (1.0 - _sphere_soft_reg(
+                    sph_ref, s, px, py, pz, lx, ly, lz, tmin, mag, beta))
+            for p in range(P):
+                tr = tr * (1.0 - _plane_soft_reg(
+                    pl_ref, p, px, py, pz, lx, ly, lz, tmin, mag, beta))
+
+            def fold_entry(slot, gr, tr, lx=lx, ly=ly, lz=lz, mag=mag):
+                for r in rows:
+                    g = gr if r is None else r
+                    for m in range(MEGA2_G):
+                        read = lambda c, m=m, g=g: scratch[slot, g, m * SOFT_SG_COLS + c]
+                        tr = tr * (1.0 - _tri_soft_read(
+                            read, px, py, pz, lx, ly, lz, tmin, mag, beta))
+                return tr
+
+            tr = pk._mega3_dispatch(
+                mode, blob_ref, scratch, sems,
+                lambda k, li=li: sgwl_ref[0, li, k],
+                lambda q, li=li: gwl_ref[0, li, q],
+                cnt_ref[0, li, 0], cnt_ref[0, li, 1], fold_entry, tr,
+            )
+            out_refs[li][:] = tr
+
+    return kernel
+
+
+def _soft_trans_stream(scene, ro, dirs, mags, tmin, beta):
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    S, P = scene.spheres.count, scene.planes.count
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_in, pln_in, blob, ng, nwl1, nge, mode, ring = _stream_geometry(scene, L)
+    glo, ghi = _padded_group_bounds(scene.triangles, ng, beta=beta)
+    sh_sg, sh_g, sh_c = _stream_shadow_worklists(
+        scene, ro, dirs, mags, tmin, glo, ghi, mode)
+
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+
+    kern = _make_soft_stream_kernel(tmin, beta, S, P, L, mode)
+    trans = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            _SMEM0((max(S, 1), SP_COLS)), _SMEM0((max(P, 1), SP_COLS)),
+            _SMEMT((1, L, nwl1)), _SMEMT((1, L, nge)), _SMEMT((1, L, 2)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [_VTILE] * (3 + 4 * L),
+        out_specs=[_VTILE] * L,
+        out_shape=[jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)] * L,
+        scratch_shapes=ring,
+        interpret=interpret,
+    )(sph_in, pln_in, sh_sg, sh_g, sh_c, blob, *p_tiles, *light_tiles)
+    return jnp.stack([t.reshape(-1)[:R] for t in trans])
+
+
+def _make_anyhit_stream_kernel(tmin, S, P, L, mode):
+    rows = (None,) if mode == "fine" else range(8)
+
+    def kernel(*refs):
+        sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:6]
+        pos = 6
+        px, py, pz = (r[:] for r in refs[pos : pos + 3])
+        pos += 3
+        light_cols = []
+        for _ in range(L):
+            lx, ly, lz, mag = (r[:] for r in refs[pos : pos + 4])
+            pos += 4
+            light_cols.append((lx, ly, lz, mag))
+        out_refs = refs[pos : pos + L]
+        scratch, sems = refs[pos + L], refs[pos + L + 1]
+
+        for li in range(L):
+            lx, ly, lz, mag = light_cols[li]
+            occ = jnp.zeros((8, 128), jnp.float32)
+            for s in range(S):
+                tc = pk._sphere_t_reg(sph_ref, s, px, py, pz, lx, ly, lz, tmin, mag)
+                occ = jnp.where(tc < pk.INF, 1.0, occ)
+            for p in range(P):
+                tc = pk._plane_t_reg(pl_ref, p, px, py, pz, lx, ly, lz, tmin, mag)
+                occ = jnp.where(tc < pk.INF, 1.0, occ)
+
+            def fold_entry(slot, gr, occ, lx=lx, ly=ly, lz=lz, mag=mag):
+                for r in rows:
+                    g = gr if r is None else r
+                    for m in range(MEGA2_G):
+                        read = lambda c, m=m, g=g: scratch[slot, g, m * SOFT_SG_COLS + c]
+                        tc = pk._tri_t_read(read, px, py, pz, lx, ly, lz,
+                                            tmin, mag, shadow=True)
+                        occ = jnp.where(tc < pk.INF, 1.0, occ)
+                return occ
+
+            occ = pk._mega3_dispatch(
+                mode, blob_ref, scratch, sems,
+                lambda k, li=li: sgwl_ref[0, li, k],
+                lambda q, li=li: gwl_ref[0, li, q],
+                cnt_ref[0, li, 0], cnt_ref[0, li, 1], fold_entry, occ,
+            )
+            out_refs[li][:] = occ
+
+    return kernel
+
+
+def _anyhit_stream(scene, ro, dirs, mags, tmin):
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    S, P = scene.spheres.count, scene.planes.count
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_in, pln_in, blob, ng, nwl1, nge, mode, ring = _stream_geometry(scene, L)
+    glo, ghi = _padded_group_bounds(scene.triangles, ng)
+    sh_sg, sh_g, sh_c = _stream_shadow_worklists(
+        scene, ro, dirs, mags, tmin, glo, ghi, mode)
+
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+
+    kern = _make_anyhit_stream_kernel(float(tmin), S, P, L, mode)
+    occs = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            _SMEM0((max(S, 1), SP_COLS)), _SMEM0((max(P, 1), SP_COLS)),
+            _SMEMT((1, L, nwl1)), _SMEMT((1, L, nge)), _SMEMT((1, L, 2)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [_VTILE] * (3 + 4 * L),
+        out_specs=[_VTILE] * L,
+        out_shape=[jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)] * L,
+        scratch_shapes=ring,
+        interpret=interpret,
+    )(sph_in, pln_in, sh_sg, sh_g, sh_c, blob, *p_tiles, *light_tiles)
+    return jnp.stack([o.reshape(-1)[:R] for o in occs]) > 0.5
+
+
+def _make_mint_stream_kernel(tmin, S, P, mode, payload=False):
+    """Streamed winner search: (t, global id) min-fold (+ optional payload
+    registers); the triangle's global id comes from the blob's trailing
+    column (offset by S+P in XLA-visible space)."""
+    rows = (None,) if mode == "fine" else range(8)
+    base_id = float(S + P)
+    NC = 6 if payload else 2
+
+    def kernel(sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref,
+               ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, *rest):
+        out_refs = rest[:NC]
+        scratch, sems = rest[NC], rest[NC + 1]
+        ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+        acc = [jnp.full((8, 128), pk.INF, jnp.float32)] + [
+            jnp.zeros((8, 128), jnp.float32) for _ in range(NC - 1)]
+
+        def upd(tc, fid, acc, pay=None):
+            sel = tc < acc[0]  # strict: first-in-fold-order wins ties
+            new = [jnp.where(sel, tc, acc[0]), jnp.where(sel, fid, acc[1])]
+            if payload:
+                new += [jnp.where(sel, pv, av) for pv, av in zip(pay, acc[2:])]
+            return new
+
+        for s in range(S):
+            tc = pk._sphere_t_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
+            pay = None
+            if payload:
+                cnx = ox + tc * dx - sph_ref[s, 0]
+                cny = oy + tc * dy - sph_ref[s, 1]
+                cnz = oz + tc * dz - sph_ref[s, 2]
+                n_len = jnp.sqrt(jnp.maximum(
+                    cnx * cnx + cny * cny + cnz * cnz, 1e-20))
+                pay = (cnx / n_len, cny / n_len, cnz / n_len, sph_ref[s, 4])
+            acc = upd(tc, _fid(s, 0), acc, pay)
+        for p in range(P):
+            tc = pk._plane_t_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
+            pay = (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 4]) \
+                if payload else None
+            acc = upd(tc, _fid(p, S), acc, pay)
+
+        def fold_entry(slot, gr, carry):
+            acc = list(carry)
+            for r in rows:
+                g = gr if r is None else r
+                for m in range(MEGA2_G):
+                    read = lambda c, m=m, g=g: scratch[slot, g, m * SOFT_SG_COLS + c]
+                    tc = pk._tri_t_read(read, ox, oy, oz, dx, dy, dz,
+                                        tmin, pk.INF, shadow=False)
+                    pay = (read(9), read(10), read(11), read(13)) \
+                        if payload else None
+                    acc = upd(tc, read(TRI_COLS) + base_id, acc, pay)
+            return tuple(acc)
+
+        acc = pk._mega3_dispatch(
+            mode, blob_ref, scratch, sems,
+            lambda k: sgwl_ref[0, 0, k], lambda q: gwl_ref[0, 0, q],
+            cnt_ref[0, 0, 0], cnt_ref[0, 0, 1], fold_entry, tuple(acc),
+        )
+        for r, v in zip(out_refs, acc):
+            r[:] = v
+
+    return kernel
+
+
+def _mint_stream(scene, ro_b, rd, tmin, payload=False):
+    from raytpu.ops import accel
+
+    R = rd.shape[0]
+    S, P = scene.spheres.count, scene.planes.count
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_in, pln_in, blob, ng, nwl1, nge, mode, ring = _stream_geometry(scene)
+    glo, ghi = _padded_group_bounds(scene.triangles, ng)
+    rb = accel.ray_tile_bounds(ro_b, rd, jnp.inf, tile=1024)
+    cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
+    sg_wl, g_wl, cnts = pk.mega3_worklists(cullm, mode)
+
+    ray_tiles = [_vtiles(ro_b[:, c], rows_pad) for c in range(3)] + [
+        _vtiles(rd[:, c], rows_pad) for c in range(3)
+    ]
+
+    NC = 6 if payload else 2
+    kern = _make_mint_stream_kernel(float(tmin), S, P, mode, payload=payload)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            _SMEM0((max(S, 1), SP_COLS)), _SMEM0((max(P, 1), SP_COLS)),
+            _SMEMT((1, 1, nwl1)), _SMEMT((1, 1, nge)), _SMEMT((1, 1, 2)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [_VTILE] * 6,
+        out_specs=[_VTILE] * NC,
+        out_shape=[jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)] * NC,
+        scratch_shapes=ring,
+        interpret=interpret,
+    )(sph_in, pln_in, sg_wl[:, None, :], g_wl[:, None, :], cnts[:, None, :],
+      blob, *ray_tiles)
+    return _mint_outputs(outs, R, payload)
+
+
+def _make_dray_stream_kernel(tmin, beta, S, P, L, mode):
+    """Streamed ray-side backward: one launch accumulates g_p (summed over
+    lights) and per-light (g_dir, g_mag) registers over the streamed
+    worklists — no carry chain, accumulators live in registers."""
+    rows = (None,) if mode == "fine" else range(8)
+
+    def kernel(*refs):
+        sph_ref, pl_ref, sgwl_ref, gwl_ref, cnt_ref, blob_ref = refs[:6]
+        pos = 6
+        px, py, pz = (r[:] for r in refs[pos : pos + 3])
+        pos += 3
+        light_cols = []
+        for _ in range(L):
+            lx, ly, lz, mag = (r[:] for r in refs[pos : pos + 4])
+            pos += 4
+            light_cols.append((lx, ly, lz, mag))
+        gs = [refs[pos + 2 * li][:] for li in range(L)]
+        trs = [refs[pos + 2 * li + 1][:] for li in range(L)]
+        pos += 2 * L
+        out_refs = refs[pos : pos + 3 + 4 * L]
+        scratch, sems = refs[pos + 3 + 4 * L], refs[pos + 3 + 4 * L + 1]
+
+        gpx = jnp.zeros((8, 128), jnp.float32)
+        gpy = jnp.zeros_like(gpx)
+        gpz = jnp.zeros_like(gpx)
+        for li in range(L):
+            lx, ly, lz, mag = light_cols[li]
+            g_occ_base = -gs[li] * trs[li]
+            glx = jnp.zeros((8, 128), jnp.float32)
+            gly = jnp.zeros_like(glx)
+            glz = jnp.zeros_like(glx)
+            gmag = jnp.zeros_like(glx)
+
+            def add(contrib, gpx, gpy, gpz, glx, gly, glz, gmag):
+                (dpx, dpy, dpz), (dlx, dly, dlz), dmag = contrib
+                return (gpx + dpx, gpy + dpy, gpz + dpz,
+                        glx + dlx, gly + dly, glz + dlz, gmag + dmag)
+
+            for s in range(S):
+                gpx, gpy, gpz, glx, gly, glz, gmag = add(
+                    _sphere_dray(sph_ref, s, px, py, pz, lx, ly, lz, mag,
+                                 g_occ_base, tmin, beta),
+                    gpx, gpy, gpz, glx, gly, glz, gmag)
+            for p in range(P):
+                gpx, gpy, gpz, glx, gly, glz, gmag = add(
+                    _plane_dray(pl_ref, p, px, py, pz, lx, ly, lz, mag,
+                                g_occ_base, tmin, beta),
+                    gpx, gpy, gpz, glx, gly, glz, gmag)
+
+            def fold_entry(slot, gr, acc, lx=lx, ly=ly, lz=lz, mag=mag,
+                           g_occ_base=g_occ_base, add=add):
+                for r in rows:
+                    g = gr if r is None else r
+                    for m in range(MEGA2_G):
+                        read = lambda c, m=m, g=g: scratch[slot, g, m * SOFT_SG_COLS + c]
+                        acc = add(
+                            _tri_dray_read(read, px, py, pz, lx, ly, lz, mag,
+                                           g_occ_base, tmin, beta),
+                            *acc)
+                return acc
+
+            acc = pk._mega3_dispatch(
+                mode, blob_ref, scratch, sems,
+                lambda k, li=li: sgwl_ref[0, li, k],
+                lambda q, li=li: gwl_ref[0, li, q],
+                cnt_ref[0, li, 0], cnt_ref[0, li, 1], fold_entry,
+                (gpx, gpy, gpz, glx, gly, glz, gmag),
+            )
+            gpx, gpy, gpz, glx, gly, glz, gmag = acc
+            out_refs[3 + 4 * li][:] = glx
+            out_refs[4 + 4 * li][:] = gly
+            out_refs[5 + 4 * li][:] = glz
+            out_refs[6 + 4 * li][:] = gmag
+        out_refs[0][:] = gpx
+        out_refs[1][:] = gpy
+        out_refs[2][:] = gpz
+
+    return kernel
+
+
+def _dray_stream(scene, ro, dirs, mags, g, trans, tmin, beta):
+    R = ro.shape[0]
+    L = dirs.shape[0]
+    S, P = scene.spheres.count, scene.planes.count
+    nt = _cdiv(R, 1024)
+    rows_pad = nt * 8
+    interpret = pk._interpret or jax.default_backend() == "cpu"
+
+    sph_in, pln_in, blob, ng, nwl1, nge, mode, ring = _stream_geometry(scene, L)
+    glo, ghi = _padded_group_bounds(scene.triangles, ng, beta=beta)
+    sh_sg, sh_g, sh_c = _stream_shadow_worklists(
+        scene, ro, dirs, mags, tmin, glo, ghi, mode)
+
+    p_tiles = [_vtiles(ro[:, c], rows_pad) for c in range(3)]
+    light_tiles = []
+    for li in range(L):
+        for c in range(3):
+            light_tiles.append(_vtiles(dirs[li, :, c], rows_pad))
+        light_tiles.append(_vtiles(mags[li], rows_pad))
+    gt_tiles = []
+    for li in range(L):
+        gt_tiles.append(_vtiles(g[li], rows_pad))
+        gt_tiles.append(_vtiles(trans[li], rows_pad))
+
+    NOUT = 3 + 4 * L
+    kern = _make_dray_stream_kernel(tmin, beta, S, P, L, mode)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[
+            _SMEM0((max(S, 1), SP_COLS)), _SMEM0((max(P, 1), SP_COLS)),
+            _SMEMT((1, L, nwl1)), _SMEMT((1, L, nge)), _SMEMT((1, L, 2)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + [_VTILE] * (3 + 4 * L + 2 * L),
+        out_specs=[_VTILE] * NOUT,
+        out_shape=[jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)] * NOUT,
+        scratch_shapes=ring,
+        interpret=interpret,
+    )(sph_in, pln_in, sh_sg, sh_g, sh_c, blob, *p_tiles, *light_tiles,
+      *gt_tiles)
+
+    flat = [o.reshape(-1)[:R] for o in outs]
+    g_p = jnp.stack(flat[:3], axis=1)
+    g_dirs = jnp.stack(
+        [jnp.stack(flat[3 + 4 * li : 6 + 4 * li], axis=1) for li in range(L)]
+    )
+    g_mags = jnp.stack([flat[6 + 4 * li] for li in range(L)])
+    return g_p, g_dirs, g_mags
+
+
 def _make_soft_mega_kernel(tmin, beta, S, P, Tl, ngl, L, first, culled):
     """One launch of the soft-transmittance chain: fold this SMEM triangle
     subset's (1 - occ) product per light; the first launch also folds the
@@ -174,18 +668,22 @@ def _make_soft_mega_kernel(tmin, beta, S, P, Tl, ngl, L, first, culled):
 
 
 def _soft_packs(scene: Scene):
-    """Geometry-only SMEM blobs: spheres (S,4), planes (P,4), tris (T,13)."""
+    """SMEM blobs: spheres (S, SP_COLS), planes (P, SP_COLS), triangles
+    (T, TRI_COLS) — geometry cols as before plus a trailing material id (read
+    only by the payload-emitting winner search)."""
     sph = scene.spheres
     sph_blob = (
         jnp.stack([sph.center[:, 0], sph.center[:, 1], sph.center[:, 2],
-                   sph.radius * sph.radius], axis=1)
-        if sph.count else jnp.zeros((0, 4), jnp.float32)
+                   sph.radius * sph.radius,
+                   sph.material.astype(jnp.float32)], axis=1)
+        if sph.count else jnp.zeros((0, SP_COLS), jnp.float32)
     )
     pln = scene.planes
     pl_blob = (
         jnp.stack([pln.normal[:, 0], pln.normal[:, 1], pln.normal[:, 2],
-                   jnp.sum(pln.origin * pln.normal, axis=1)], axis=1)
-        if pln.count else jnp.zeros((0, 4), jnp.float32)
+                   jnp.sum(pln.origin * pln.normal, axis=1),
+                   pln.material.astype(jnp.float32)], axis=1)
+        if pln.count else jnp.zeros((0, SP_COLS), jnp.float32)
     )
     tr = scene.triangles
     if tr.count:
@@ -196,10 +694,11 @@ def _soft_packs(scene: Scene):
              e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2],
              tr.normal[:, 0], tr.normal[:, 1], tr.normal[:, 2],
-             tr.cull.astype(jnp.float32)],
+             tr.cull.astype(jnp.float32),
+             tr.material.astype(jnp.float32)],
             axis=1)
     else:
-        tri_blob = jnp.zeros((0, 13), jnp.float32)
+        tri_blob = jnp.zeros((0, TRI_COLS), jnp.float32)
     return sph_blob, pl_blob, tri_blob
 
 
@@ -209,14 +708,17 @@ def _vtiles(x, rows_pad):
     return xp.reshape(rows_pad, 128)
 
 
-def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
-    """Soft transmittance for all L lights as a mega2-style launch chain.
+def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta,
+                             stream: bool | None = None):
+    """Soft transmittance for all L lights: a mega2-style SMEM launch chain
+    up to ``MAX_TRIS`` triangles, a mega3-style DMA-streamed single launch
+    up to ``STREAM_MAX_TRIS`` beyond (``stream`` overrides the routing).
 
     ro (R,3) shared shadow origins; dirs (L,R,3); mags (L,R).
     Returns (L, R) f32 transmittance in [0,1].  Matches
     ``intersect.soft_transmittance`` per light up to the culled sigmoid tail
     (< ~2e-9 per clipped primitive) and fp reassociation of the packed
-    plane offset.  Scenes past ``MAX_TRIS`` triangles must use the jnp op.
+    plane offset.
     """
     from raytpu.ops import accel
 
@@ -225,9 +727,14 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
     tmin = float(tmin)
     beta = float(beta)
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
-    assert T <= MAX_TRIS, f"soft_trans_lights_pallas supports <= {MAX_TRIS} tris"
+    assert T <= STREAM_MAX_TRIS, \
+        f"soft_trans_lights_pallas supports <= {STREAM_MAX_TRIS} tris"
     assert S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL, \
         "sphere/plane unroll budget exceeded"
+    if stream is None:
+        stream = T > MAX_TRIS
+    if stream and T and L:
+        return _soft_trans_stream(scene, ro, dirs, mags, tmin, beta)
     nt = _cdiv(R, 1024)
     rows_pad = nt * 8
     interpret = pk._interpret or jax.default_backend() == "cpu"
@@ -266,8 +773,8 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
     smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
-    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
-    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, SP_COLS), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, SP_COLS), jnp.float32)
 
     trans = None
     for k, (ga, gb) in enumerate(ranges):
@@ -290,12 +797,12 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta):
             first, culled,
         )
         in_specs = [
-            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem((max(S, 1), SP_COLS)), smem((max(P, 1), SP_COLS)), smem((max(Tl, 1), TRI_COLS)),
             smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
         ] + [vtile] * (3 + 4 * L)
         ins = [
             sph_in, pln_in,
-            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, TRI_COLS), jnp.float32),
             wl_k, cnt_k[:, None, :],
         ] + p_tiles + light_tiles
         aliases = {}
@@ -375,8 +882,10 @@ def _make_anyhit_kernel(tmin, S, P, Tl, ngl, L, first, culled):
     return kernel
 
 
-def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin):
-    """(L, R) bool occlusion for all lights, mega2 layout.
+def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin,
+                         stream: bool | None = None):
+    """(L, R) bool occlusion for all lights, mega2 layout (DMA-streamed past
+    ``MAX_TRIS`` triangles).
 
     ro (R,3) shadow origins; dirs (L,R,3); mags (L,R) segment lengths.
     Shadow rays invert triangle front/back culling (reference:
@@ -388,7 +897,11 @@ def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin):
     L = dirs.shape[0]
     tmin = float(tmin)
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
-    assert T <= MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    assert T <= STREAM_MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    if stream is None:
+        stream = T > MAX_TRIS
+    if stream and T and L:
+        return _anyhit_stream(scene, ro, dirs, mags, tmin)
     nt = _cdiv(R, 1024)
     rows_pad = nt * 8
     interpret = pk._interpret or jax.default_backend() == "cpu"
@@ -422,8 +935,8 @@ def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin):
     smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
-    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
-    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, SP_COLS), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, SP_COLS), jnp.float32)
 
     occs = None
     for k, (ga, gb) in enumerate(ranges):
@@ -445,12 +958,12 @@ def any_hit_lights_mega2(scene: Scene, ro, dirs, mags, tmin):
             tmin, S if first else 0, P if first else 0, Tl, ngl, L, first, culled,
         )
         in_specs = [
-            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem((max(S, 1), SP_COLS)), smem((max(P, 1), SP_COLS)), smem((max(Tl, 1), TRI_COLS)),
             smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
         ] + [vtile] * (3 + 4 * L)
         ins = [
             sph_in, pln_in,
-            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, TRI_COLS), jnp.float32),
             wl_k, cnt_k[:, None, :],
         ] + p_tiles + light_tiles
         aliases = {}
@@ -490,9 +1003,14 @@ def _fid(k, base_id):
     return (k + base_id).astype(jnp.float32)
 
 
-def _make_mint_kernel(tmin, S, P, Tl, ngl, base_id, first, culled):
+def _make_mint_kernel(tmin, S, P, Tl, ngl, base_id, first, culled,
+                      payload=False):
     """One launch of the winner-search chain over its SMEM triangle subset;
-    ``base_id`` is the global id of this launch's first triangle row."""
+    ``base_id`` is the global id of this launch's first triangle row.
+    ``payload`` additionally carries the winner's (normal, material id)
+    registers — emitted from the same SMEM records the fold already reads,
+    making the XLA payload-assembly matmuls unnecessary downstream."""
+    NC = 6 if payload else 2
 
     def kernel(sph_ref, pl_ref, tri_ref, wl_ref, cnt_ref,
                ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, *rest):
@@ -500,50 +1018,77 @@ def _make_mint_kernel(tmin, S, P, Tl, ngl, base_id, first, culled):
         ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
         dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
         if first:
-            t = jnp.full((8, 128), pk.INF, jnp.float32)
-            idx = jnp.zeros((8, 128), jnp.float32)
+            acc = [jnp.full((8, 128), pk.INF, jnp.float32)] + [
+                jnp.zeros((8, 128), jnp.float32) for _ in range(NC - 1)]
             out_refs = rest
         else:
-            t, idx = rest[0][:], rest[1][:]
-            out_refs = rest[2:]
+            acc = [r[:] for r in rest[:NC]]
+            out_refs = rest[NC:]
 
-        def upd(tc, fid, t, idx):
-            sel = tc < t  # strict: first-in-fold-order wins ties
-            return jnp.where(sel, tc, t), jnp.where(sel, fid, idx)
+        def upd(tc, fid, acc, pay=None):
+            sel = tc < acc[0]  # strict: first-in-fold-order wins ties
+            new = [jnp.where(sel, tc, acc[0]), jnp.where(sel, fid, acc[1])]
+            if payload:
+                new += [jnp.where(sel, pv, av) for pv, av in zip(pay, acc[2:])]
+            return new
 
         if first:
             for s in range(S):
                 tc = pk._sphere_t_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
-                t, idx = upd(tc, _fid(s, 0), t, idx)
+                pay = None
+                if payload:
+                    # sphere normal normalized after selection semantics:
+                    # same formula as assemble (reference: Scene.cpp:40)
+                    cnx = ox + tc * dx - sph_ref[s, 0]
+                    cny = oy + tc * dy - sph_ref[s, 1]
+                    cnz = oz + tc * dz - sph_ref[s, 2]
+                    n_len = jnp.sqrt(jnp.maximum(
+                        cnx * cnx + cny * cny + cnz * cnz, 1e-20))
+                    pay = (cnx / n_len, cny / n_len, cnz / n_len, sph_ref[s, 4])
+                acc = upd(tc, _fid(s, 0), acc, pay)
             for p in range(P):
                 tc = pk._plane_t_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
-                t, idx = upd(tc, _fid(p, S), t, idx)
+                pay = (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 4]) \
+                    if payload else None
+                acc = upd(tc, _fid(p, S), acc, pay)
         if Tl:
-            def fold_group(base, carry):
-                t, idx = carry
+            def fold_group(base, acc):
                 for kk in range(MEGA2_G):
                     k = base + kk
                     tc = pk._tri_t_reg(tri_ref, k, ox, oy, oz, dx, dy, dz,
                                        tmin, pk.INF, shadow=False)
-                    t, idx = upd(tc, _fid(k, base_id), t, idx)
-                return t, idx
+                    pay = (tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11],
+                           tri_ref[k, 13]) if payload else None
+                    acc = upd(tc, _fid(k, base_id), acc, pay)
+                return acc
 
             if culled:
-                def body(j, carry):
+                def body(j, acc):
                     g = wl_ref[0, 0, j]
-                    return fold_group(g * MEGA2_G, carry)
+                    return tuple(fold_group(g * MEGA2_G, list(acc)))
 
-                t, idx = jax.lax.fori_loop(0, cnt, body, (t, idx))
+                acc = list(jax.lax.fori_loop(0, cnt, body, tuple(acc)))
             else:
                 for g in range(ngl):
-                    t, idx = fold_group(g * MEGA2_G, (t, idx))
-        out_refs[0][:] = t
-        out_refs[1][:] = idx
+                    acc = fold_group(g * MEGA2_G, acc)
+        for r, v in zip(out_refs, acc):
+            r[:] = v
 
     return kernel
 
 
-def scene_min_t_mega2(scene: Scene, ro, rd, tmin):
+def _mint_outputs(outs, R, payload):
+    t = outs[0].reshape(-1)[:R]
+    idx = outs[1].reshape(-1)[:R].astype(jnp.int32)
+    if not payload:
+        return t, idx
+    normal = jnp.stack([outs[2 + c].reshape(-1)[:R] for c in range(3)], axis=1)
+    mat = outs[5].reshape(-1)[:R].astype(jnp.int32)
+    return t, idx, normal, mat
+
+
+def scene_min_t_mega2(scene: Scene, ro, rd, tmin, stream: bool | None = None,
+                      payload: bool = False):
     """Mega2-layout closest-hit winner search for arbitrary rays.
 
     Returns ``(t (R,), idx (R,) i32)`` — the winning hit distance (INF on
@@ -552,6 +1097,7 @@ def scene_min_t_mega2(scene: Scene, ro, rd, tmin):
     between triangles in different cull groups may resolve to either (the
     worklist visits groups in cull-quality order, not scene order).  Built
     for ``detached_closest_hit(min_t_fn=...)``: forward-only, no VJP.
+    DMA-streamed in one launch past ``MAX_TRIS`` triangles.
     """
     from raytpu.ops import accel
 
@@ -559,7 +1105,12 @@ def scene_min_t_mega2(scene: Scene, ro, rd, tmin):
     tmin = float(tmin)
     ro_b = jnp.broadcast_to(ro, rd.shape)
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
-    assert T <= MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    assert T <= STREAM_MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    if stream is None:
+        stream = T > MAX_TRIS
+    if stream and T:
+        return _mint_stream(scene, ro_b, rd, tmin, payload=payload)
+    NC = 6 if payload else 2
     nt = _cdiv(R, 1024)
     rows_pad = nt * 8
     interpret = pk._interpret or jax.default_backend() == "cpu"
@@ -585,8 +1136,8 @@ def scene_min_t_mega2(scene: Scene, ro, rd, tmin):
     smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
-    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
-    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, SP_COLS), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, SP_COLS), jnp.float32)
 
     outs = None
     for k, (ga, gb) in enumerate(ranges):
@@ -600,35 +1151,33 @@ def scene_min_t_mega2(scene: Scene, ro, rd, tmin):
             cnt_k = jnp.full((nt, 1), ngl, jnp.int32)
         kern = _make_mint_kernel(
             tmin, S if first else 0, P if first else 0, Tl, ngl,
-            S + P + ga * MEGA2_G, first, culled,
+            S + P + ga * MEGA2_G, first, culled, payload=payload,
         )
         in_specs = [
-            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem((max(S, 1), SP_COLS)), smem((max(P, 1), SP_COLS)), smem((max(Tl, 1), TRI_COLS)),
             smem_t((1, 1, max(ngl, 1))), smem_t((1, 1, 1)),
         ] + [vtile] * 6
         ins = [
             sph_in, pln_in,
-            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, TRI_COLS), jnp.float32),
             wl_k[:, None, :], cnt_k[:, :, None],
         ] + ray_tiles
         aliases = {}
         if not first:
             base = len(ins)
-            in_specs += [vtile, vtile]
+            in_specs += [vtile] * NC
             ins += list(outs)
-            aliases = {base: 0, base + 1: 1}
+            aliases = {base + j: j for j in range(NC)}
         outs = pl.pallas_call(
             kern,
             grid=(nt,),
             in_specs=in_specs,
-            out_specs=[vtile, vtile],
-            out_shape=[acc_shape, acc_shape],
+            out_specs=[vtile] * NC,
+            out_shape=[acc_shape] * NC,
             input_output_aliases=aliases,
             interpret=interpret,
         )(*ins)
-    t = outs[0].reshape(-1)[:R]
-    idx = outs[1].reshape(-1)[:R].astype(jnp.int32)
-    return t, idx
+    return _mint_outputs(outs, R, payload)
 
 
 # ---------------------------------------------------------------------------
@@ -713,11 +1262,16 @@ def _plane_dray(pl_ref, p, px, py, pz, lx, ly, lz, mag, g_occ_base, tmin, beta):
 
 
 def _tri_dray(tri_ref, k, px, py, pz, lx, ly, lz, mag, g_occ_base, tmin, beta):
-    v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
-    e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
-    e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
-    nx, ny, nz = tri_ref[k, 9], tri_ref[k, 10], tri_ref[k, 11]
-    cull = tri_ref[k, 12]
+    return _tri_dray_read(lambda c: tri_ref[k, c], px, py, pz, lx, ly, lz,
+                          mag, g_occ_base, tmin, beta)
+
+
+def _tri_dray_read(read, px, py, pz, lx, ly, lz, mag, g_occ_base, tmin, beta):
+    v0x, v0y, v0z = read(0), read(1), read(2)
+    e1x, e1y, e1z = read(3), read(4), read(5)
+    e2x, e2y, e2z = read(6), read(7), read(8)
+    nx, ny, nz = read(9), read(10), read(11)
+    cull = read(12)
     cull_dot = nx * lx + ny * ly + nz * lz
     not_par = jnp.abs(cull_dot) >= FLT_EPSILON
     cull_eff = jnp.where(cull == 2.0, 2.0, 1.0 - cull)
@@ -867,12 +1421,14 @@ def _make_soft_dray_kernel(tmin, beta, S, P, Tl, ngl, L, first, culled):
     return kernel
 
 
-def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
+def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta,
+                     stream: bool | None = None):
     """Ray-side VJP of ``soft_trans_lights_pallas``: cotangents for the
     shadow origins, light directions, and light distances.
 
     g, trans: (L, R) upstream cotangent and saved forward transmittance.
     Returns ``(g_p (R,3), g_dirs (L,R,3), g_mags (L,R))``.
+    DMA-streamed in one launch past ``MAX_TRIS`` triangles.
     """
     from raytpu.ops import accel
 
@@ -881,7 +1437,11 @@ def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
     tmin = float(tmin)
     beta = float(beta)
     S, P, T = scene.spheres.count, scene.planes.count, scene.triangles.count
-    assert T <= MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    assert T <= STREAM_MAX_TRIS and S <= pk.MEGA2_MAX_UNROLL and P <= pk.MEGA2_MAX_UNROLL
+    if stream is None:
+        stream = T > MAX_TRIS
+    if stream and T and L:
+        return _dray_stream(scene, ro, dirs, mags, g, trans, tmin, beta)
     nt = _cdiv(R, 1024)
     rows_pad = nt * 8
     interpret = pk._interpret or jax.default_backend() == "cpu"
@@ -922,8 +1482,8 @@ def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
     smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
-    sph_in = sph_blob if S else jnp.zeros((1, 4), jnp.float32)
-    pln_in = pl_blob if P else jnp.zeros((1, 4), jnp.float32)
+    sph_in = sph_blob if S else jnp.zeros((1, SP_COLS), jnp.float32)
+    pln_in = pl_blob if P else jnp.zeros((1, SP_COLS), jnp.float32)
     NOUT = 3 + 4 * L
 
     outs = None
@@ -947,12 +1507,12 @@ def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
             first, culled,
         )
         in_specs = [
-            smem((max(S, 1), 4)), smem((max(P, 1), 4)), smem((max(Tl, 1), 13)),
+            smem((max(S, 1), SP_COLS)), smem((max(P, 1), SP_COLS)), smem((max(Tl, 1), TRI_COLS)),
             smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
         ] + [vtile] * (3 + 4 * L + 2 * L)
         ins = [
             sph_in, pln_in,
-            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, 13), jnp.float32),
+            tri_blob[ga * MEGA2_G : gb * MEGA2_G] if Tl else jnp.zeros((1, TRI_COLS), jnp.float32),
             wl_k, cnt_k[:, None, :],
         ] + p_tiles + light_tiles + gt_tiles
         aliases = {}
@@ -1001,7 +1561,7 @@ def soft_dray_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
 # ---------------------------------------------------------------------------
 
 
-def _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled):
+def _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled, coarse=False):
     def kernel(*refs):
         tri_ref, wl_ref, cnt_ref = refs[:3]
         pos = 3
@@ -1102,7 +1662,18 @@ def _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled):
                     red = jnp.sum(acc[c], axis=1, keepdims=True)  # (8,1)
                     out_ref[ds, c : c + 1] += red
 
-            if culled:
+            if culled and coarse:
+                # entries are SUPER-GROUP ids (8 groups / 64 tris): the
+                # worklist SMEM stays O(T/64) per tile at any mesh size
+                def body(j, carry, li=li, group_grads=group_grads):
+                    sg = wl_ref[0, li, j]
+                    base = pl.multiple_of(sg * (8 * MEGA2_G), 8 * MEGA2_G)
+                    for r in range(8):
+                        group_grads(base + r * MEGA2_G)
+                    return carry
+
+                jax.lax.fori_loop(0, cnts[li], body, 0)
+            elif culled:
                 def body(j, carry, li=li, group_grads=group_grads):
                     g = wl_ref[0, li, j]
                     group_grads(pl.multiple_of(g * MEGA2_G, MEGA2_G))
@@ -1116,7 +1687,16 @@ def _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled):
     return kernel
 
 
-def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
+#: triangles per dprim launch in big-T (stream) mode.  VMEM pads the last
+#: dim of the (Tl, 13) blob and (Tl, 9) output to 128 lanes, so each costs
+#: Tl*512 bytes: 1024 groups = 8,192 tris -> ~4.2 MB each, inside the 16 MB
+#: scoped-VMEM limit (4096 groups OOM'd at lowering: the padded output alone
+#: was 16.8 MB)
+DPRIM_STREAM_GPL = 1024
+
+
+def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta,
+                      stream: bool | None = None):
     """Triangle-vertex VJP of ``soft_trans_lights_pallas``: returns
     ``(g_v0, g_v1, g_v2)`` each (T, 3), summed over all rays and lights.
 
@@ -1131,24 +1711,32 @@ def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
     tmin = float(tmin)
     beta = float(beta)
     T = scene.triangles.count
-    assert 0 < T <= MAX_TRIS
+    assert 0 < T <= STREAM_MAX_TRIS
+    if stream is None:
+        stream = T > MAX_TRIS
     nt = _cdiv(R, 1024)
     rows_pad = nt * 8
     interpret = pk._interpret or jax.default_backend() == "cpu"
 
     _, _, tri_blob = _soft_packs(scene)
-    tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)
+    if stream:
+        # big-T mode: the blob is VMEM (vector reads — no SMEM ceiling), so
+        # launches can carry DPRIM_STREAM_GPL groups each; worklists drop to
+        # super-group granularity (O(T/64) SMEM per tile at any mesh size)
+        tri_blob = _pad_axis(tri_blob, 0, 8 * MEGA2_G, 0.0)
+        gpl = DPRIM_STREAM_GPL
+    else:
+        tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)
+        gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
     ng = tri_blob.shape[0] // MEGA2_G
-    gpl = max(1, pk.MEGA2_MAX_SMEM_TRIS // MEGA2_G)
     NL = max(1, _cdiv(ng, gpl))
     ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)]
-    culled = T >= 2 * MEGA2_G
+    culled = stream or T >= 2 * MEGA2_G
 
     if culled:
-        glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)
-        slack = accel.chunk_soft_slack(scene.triangles, beta, MEGA2_G, SOFT_SUPPORT)
-        glo = glo - slack[:, None]
-        ghi = ghi + slack[:, None]
+        # pad group bounds to the (possibly super-group-padded) blob's ng
+        # with never-pass bounds so padded groups are never worklisted
+        glo, ghi = _padded_group_bounds(scene.triangles, ng, beta=beta)
         culls = []
         for li in range(L):
             is_pt = scene.lights.kind[li] == LightKind.POINT
@@ -1178,7 +1766,10 @@ def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
         if culled:
             wl3, cnt2 = [], []
             for li in range(L):
-                w_, c_ = pk.chunk_worklist(cullm[:, li, ga:gb])
+                cm_l = cullm[:, li, ga:gb]
+                if stream:  # reduce to super-group entries
+                    cm_l = cm_l.reshape(nt, ngl // 8, 8).max(axis=2)
+                w_, c_ = pk.chunk_worklist(cm_l)
                 wl3.append(w_)
                 cnt2.append(c_)
             wl_k = jnp.stack(wl3, axis=1)
@@ -1186,10 +1777,12 @@ def soft_dprim_pallas(scene: Scene, ro, dirs, mags, g, trans, tmin, beta):
         else:
             wl_k = jnp.zeros((nt, max(L, 1), max(ngl, 1)), jnp.int32)
             cnt_k = jnp.full((nt, max(L, 1)), ngl, jnp.int32)
-        kern = _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled)
+        kern = _make_soft_dprim_kernel(tmin, beta, Tl, ngl, L, culled,
+                                       coarse=stream)
+        nwl = ngl // 8 if stream else ngl
         in_specs = [
-            pl.BlockSpec((Tl, 13), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            smem_t((1, max(L, 1), max(ngl, 1))), smem_t((1, 1, max(L, 1))),
+            pl.BlockSpec((Tl, TRI_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            smem_t((1, max(L, 1), max(nwl, 1))), smem_t((1, 1, max(L, 1))),
         ] + [vtile] * (3 + 4 * L + 2 * L)
         ins = [
             tri_blob[ga * MEGA2_G : gb * MEGA2_G], wl_k, cnt_k[:, None, :],

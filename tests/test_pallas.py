@@ -256,6 +256,19 @@ def test_mega3_coarse_mode(monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+def test_mega3_coarse2_mode(monkeypatch):
+    """Coarse2 (one worklist entry per 512-tri super-super-group, 8 sg DMAs
+    expanded in-kernel) lifts the worklist-SMEM ceiling to ~1M triangles;
+    same image as mega2."""
+    monkeypatch.setattr(pk, "MEGA3_FINE_MAX_G", 8)
+    monkeypatch.setattr(pk, "MEGA3_WL_SMEM_ENTRIES", 1)
+    scene = _scene("optional")
+    cfg = RenderConfig(width=64, height=32)
+    a = np.asarray(pk.render_image_mega2_f32(scene, cfg))
+    b = np.asarray(pk.render_image_mega3_f32(scene, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_mega3_modes_and_no_lights(monkeypatch):
     scene = _scene("optional")
     for cfg in [

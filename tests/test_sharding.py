@@ -133,7 +133,8 @@ def test_sharded_train_step_tiled_kernels_matches(monkeypatch):
     orig = diff_render.soft_backends
     monkeypatch.setattr(
         diff_render, "soft_backends",
-        lambda s, c, detached=True, kernels=None: orig(s, c, detached, True),
+        lambda s, c, detached=True, kernels=None, payload_grad=True:
+            orig(s, c, detached, True, payload_grad),
     )
     target = jnp.zeros((32, 64, 3), jnp.float32)
     opt = optax.sgd(1e-2)

@@ -272,3 +272,129 @@ def test_render_soft_kernels_tiled_image_close():
     g_k = np.asarray(jax.grad(lambda v: loss(v, True))(scene.triangles.v0))
     scale = max(np.abs(g_j).max(), 1e-8)
     np.testing.assert_allclose(g_k / scale, g_j / scale, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# DMA-streamed variants (round 4): past MAX_TRIS every soft kernel family
+# streams its triangle worklist mega3-style.  Forced on small scenes via
+# stream=True; coarse worklists forced by shrinking pk.MEGA3_FINE_MAX_G.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["fine", "coarse", "coarse2"])
+def test_streamed_kernels_match_chain(monkeypatch, mode):
+    from raytpu.render import pallas_kernel as pk
+    from raytpu.render import pallas_soft as ps
+
+    if mode != "fine":
+        monkeypatch.setattr(pk, "MEGA3_FINE_MAX_G", 8)
+    if mode == "coarse2":
+        monkeypatch.setattr(pk, "MEGA3_WL_SMEM_ENTRIES", 1)
+    scene, cfg, p, dirs, mags = _shadow_inputs("bunny", 64, 32)
+    tmin, beta = float(cfg.ray_min), float(cfg.soft_beta)
+
+    a = np.asarray(ps.soft_trans_lights_pallas(scene, p, dirs, mags, tmin, beta, stream=False))
+    b = np.asarray(ps.soft_trans_lights_pallas(scene, p, dirs, mags, tmin, beta, stream=True))
+    # coarse folds the sigmoid-tail triangles the fine cull clips (~2e-9
+    # each) and reassociates the product
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+    oa = np.asarray(ps.any_hit_lights_mega2(scene, p, dirs, mags, tmin, stream=False))
+    ob = np.asarray(ps.any_hit_lights_mega2(scene, p, dirs, mags, tmin, stream=True))
+    np.testing.assert_array_equal(ob, oa)
+
+    ta, ia = ps.scene_min_t_mega2(scene, p, dirs[0], tmin, stream=False)
+    tb, ib = ps.scene_min_t_mega2(scene, p, dirs[0], tmin, stream=True)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ia))
+    fin = np.isfinite(np.asarray(ta))
+    np.testing.assert_allclose(np.asarray(tb)[fin], np.asarray(ta)[fin], rtol=1e-6)
+
+    g = jnp.full_like(jnp.asarray(a), 0.5)
+    ga = ps.soft_dray_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=False)
+    gb = ps.soft_dray_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=True)
+    for x, y in zip(ga, gb):
+        sc = max(np.abs(np.asarray(x)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(y) / sc, np.asarray(x) / sc, atol=1e-5)
+
+    da = ps.soft_dprim_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=False)
+    db = ps.soft_dprim_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=True)
+    for x, y in zip(da, db):
+        sc = max(np.abs(np.asarray(x)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(y) / sc, np.asarray(x) / sc, atol=1e-5)
+
+
+def test_render_soft_streamed_end_to_end(monkeypatch):
+    """Full differentiable render + grads with streaming FORCED (MAX_TRIS=0
+    routes every kernel through the DMA path) vs the jnp path."""
+    from raytpu.render import pallas_soft as ps
+
+    monkeypatch.setattr(ps, "MAX_TRIS", 0)
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=96, height=32)
+    img_j = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=False))
+    img_k = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=True))
+    diff = np.abs(img_j - img_k).max(axis=-1)
+    assert (diff > 1e-3).mean() < 0.01, f"flip fraction {(diff > 1e-3).mean()}"
+    assert np.median(diff) < 1e-5
+
+    def loss(v0, k):
+        tr = dataclasses.replace(scene.triangles, v0=v0)
+        s = dataclasses.replace(scene, triangles=tr)
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=k))
+
+    g_j = np.asarray(jax.grad(lambda v: loss(v, False))(scene.triangles.v0))
+    g_k = np.asarray(jax.grad(lambda v: loss(v, True))(scene.triangles.v0))
+    scale = max(np.abs(g_j).max(), 1e-8)
+    np.testing.assert_allclose(g_k / scale, g_j / scale, atol=2e-3)
+    assert np.abs(g_k).sum() > 0
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_mint_payload_matches_assemble(stream):
+    """Payload-emitting winner search == winner search + XLA payload
+    assembly, bit for bit (same records, same formulas)."""
+    from raytpu.render import pallas_soft as ps
+
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    ro, rd = renderer.generate_rays(scene.camera, cfg)
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    tmin = float(cfg.ray_min)
+    t, idx, normal, mat = ps.scene_min_t_mega2(
+        scene, ro_b, rd, tmin, stream=stream, payload=True)
+    t2, idx2 = ps.scene_min_t_mega2(scene, ro_b, rd, tmin, stream=stream)
+    rec = intersect.assemble_hit_records(scene, ro_b, rd, t2, idx2)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(normal), np.asarray(rec.normal))
+    np.testing.assert_array_equal(np.asarray(mat), np.asarray(rec.material))
+
+
+def test_render_soft_payload_grad_off_matches():
+    """payload_grad=False: image within fp noise of the full path and
+    material gradients identical (they never flow through the payload)."""
+    scene = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    img_full = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=True))
+    img_pay = np.asarray(diff_render.render_soft_f32(scene, cfg, kernels=True,
+                                                     payload_grad=False))
+    assert np.abs(img_full - img_pay).max() < 1e-3
+
+    def mat_loss(c, pg):
+        s = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, color=c))
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=True,
+                                                    payload_grad=pg))
+
+    g_full = np.asarray(jax.grad(lambda c: mat_loss(c, True))(scene.materials.color))
+    g_pay = np.asarray(jax.grad(lambda c: mat_loss(c, False))(scene.materials.color))
+    np.testing.assert_allclose(g_pay, g_full, rtol=1e-4, atol=1e-7)
+
+    # occluder-geometry grads still flow (the soft transmittance is intact)
+    def v0_loss(v0):
+        tr = dataclasses.replace(scene.triangles, v0=v0)
+        s = dataclasses.replace(scene, triangles=tr)
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=True,
+                                                    payload_grad=False))
+
+    g_v0 = np.asarray(jax.grad(v0_loss)(scene.triangles.v0))
+    assert np.isfinite(g_v0).all() and np.abs(g_v0).sum() > 0

@@ -34,8 +34,11 @@ GATE_ENTRIES = [
     "chunked_pipeline",    # (RT,CT) closest_hit_pallas + any_hit_lights + shadow_shade
     "mega3_fine",          # DMA-streamed single-launch kernels, per-group worklists
     "mega3_coarse",        # DMA-streamed kernels, per-super-group worklists (74k tris)
+    "mega3_coarse2",       # per-super-super-group worklists (299k tris, no 131k cliff)
     "soft_forward",        # soft_trans_lights_pallas fwd + scene_min_t_mega2 + any_hit_lights_mega2
     "soft_fwd_bwd",        # + custom-VJP backward kernels (dray, dprim) via value_and_grad
+    "soft_stream_fine",    # DMA-streamed soft fwd+bwd, per-group worklists (18.7k tris)
+    "soft_stream_coarse",  # DMA-streamed soft fwd+bwd, super-group worklists (74.7k tris)
     "sharded_1x1",         # shard_map composition of the mega2 kernels on a 1x1 mesh
 ]
 
@@ -64,8 +67,9 @@ def _build(entry: str):
             RenderConfig(width=60, height=40)
         return functools.partial(pk.render_image_mega2_f32, config=cfg), (scene,)
 
-    if entry in ("mega3_fine", "mega3_coarse"):
-        name = "optional" if entry == "mega3_fine" else "bunny50k"
+    if entry in ("mega3_fine", "mega3_coarse", "mega3_coarse2"):
+        name = {"mega3_fine": "optional", "mega3_coarse": "bunny50k",
+                "mega3_coarse2": "bunny300k"}[entry]
         scene = scenes.get(name).build()
         cfg = RenderConfig(width=64, height=32)
         return functools.partial(pk.render_image_mega3_f32, config=cfg), (scene,)
@@ -117,6 +121,35 @@ def _build(entry: str):
             loss, g = jax.value_and_grad(loss_fn)(p, s)
             # consume every grad leaf — an unused cotangent lets XLA DCE the
             # backward kernels and the gate would pass vacuously
+            return loss + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+        return fwd_bwd, (params, scene)
+
+    if entry in ("soft_stream_fine", "soft_stream_coarse"):
+        # the round-4 DMA-streamed differentiable path: soft fwd + mint +
+        # dray + dprim past the 9,600-tri SMEM chain (fine: per-group
+        # worklists at 18.7k tris; coarse: super-group worklists at 74.7k)
+        from raytpu.core.scenes import scene_bunny_subdiv
+        from raytpu.grad import diff_render
+
+        scene = scene_bunny_subdiv(3) if entry == "soft_stream_fine" \
+            else scenes.get("bunny50k").build()
+        cfg = RenderConfig(width=64, height=32)
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+        def loss_fn(params, s):
+            s = diff_render.merge_material_params(s, params["mat"])
+            s = diff_render.merge_geometry_params(s, params["geom"])
+            img = diff_render.render_soft_f32(s, cfg, kernels=True)
+            return jnp.mean((img - target) ** 2)
+
+        params = {
+            "mat": diff_render.material_params(scene),
+            "geom": diff_render.geometry_params(scene),
+        }
+
+        def fwd_bwd(p, s):
+            loss, g = jax.value_and_grad(loss_fn)(p, s)
             return loss + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
 
         return fwd_bwd, (params, scene)
