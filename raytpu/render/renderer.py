@@ -61,10 +61,41 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
     soft (differentiable) transmittance (raytpu.grad.soft).
     """
     closest_fn = closest_fn or intersect.closest_hit
-    any_fn = any_fn or intersect.any_hit
-    n = rd.shape[0]
     ro = jnp.broadcast_to(ro, rd.shape)
     rec = closest_fn(scene, ro, rd, config.ray_min)
+    return shade_from_records(scene, rec, rd, config, any_fn=any_fn,
+                              any_multi_fn=any_multi_fn,
+                              soft_multi_fn=soft_multi_fn)
+
+
+def shadow_query_inputs(scene: Scene, rec, config: RenderConfig):
+    """(p_off (R,3), dirs (L,R,3), mags (L,R)) for the per-light occlusion
+    queries — shared by shade_from_records and the remat-hoisted
+    transmittance so the two always use identical formulas."""
+    n_c = soa.comps(rec.normal)
+    p_off = soa.pack(
+        *soa.add(soa.comps(rec.point), soa.scale(n_c, jnp.float32(config.normal_offset)))
+    )
+    lds = [shading.direction_to_light(scene.lights, li, p_off)
+           for li in range(scene.lights.count)]
+    if not lds:
+        return p_off, None, None
+    return p_off, jnp.stack([l for l, _ in lds]), jnp.stack([m for _, m in lds])
+
+
+def shade_from_records(scene: Scene, rec, rd, config: RenderConfig,
+                       any_fn=None, any_multi_fn=None, soft_multi_fn=None,
+                       trans_multi=None):
+    """The shading tail of ``shade_rays`` given precomputed hit records —
+    split out so the differentiable path can place its remat boundary here
+    (the closest hit's records are cheap residuals; recomputing the winner
+    search + payload assembly in every backward is not).  ``trans_multi``
+    short-circuits the soft transmittance with a precomputed (L, R) array —
+    the remat path hoists the custom-VJP kernels (whose residuals are O(R)
+    and saved regardless) outside the checkpoint so the backward does not
+    re-execute them."""
+    any_fn = any_fn or intersect.any_hit
+    n = rd.shape[0]
 
     # offset shading point along the normal to avoid self-shadowing
     # (reference: source/Renderer.cpp:126); components-major internals
@@ -80,7 +111,6 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
 
     light_dirs = [shading.direction_to_light(scene.lights, li, p_off) for li in range(scene.lights.count)]
     occ_multi = None
-    trans_multi = None
     if any_multi_fn is not None and config.shadows and not config.soft_shadows and light_dirs:
         occ_multi = any_multi_fn(
             scene,
@@ -89,7 +119,8 @@ def shade_rays(scene: Scene, ro, rd, config: RenderConfig, closest_fn=None, any_
             jnp.stack([m for _, m in light_dirs]),
             config.ray_min,
         )
-    if soft_multi_fn is not None and config.shadows and config.soft_shadows and light_dirs:
+    if (trans_multi is None and soft_multi_fn is not None and config.shadows
+            and config.soft_shadows and light_dirs):
         trans_multi = soft_multi_fn(
             scene,
             p_off,
@@ -174,10 +205,33 @@ def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=Non
     n = rd.shape[0]
     nprim = max(scene.num_primitives, 1)
     chunk = config.ray_chunk or _auto_chunk(n, nprim)
-    body = lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn,
-                                     soft_multi_fn=soft_multi_fn)
     if remat:
-        body = jax.checkpoint(body)
+        # remat boundary AFTER the closest hit AND the soft-transmittance
+        # kernels: the hit records (~11 floats/ray) and the (L, R)
+        # transmittance are cheap residuals (the custom-VJP kernels save
+        # O(R) residuals regardless), so the backward recomputes only the
+        # elementwise shade tail — not the winner search, payload assembly,
+        # or the culled soft kernels (PERF.md round 4)
+        shade_ckpt = jax.checkpoint(
+            lambda s, rec, rds: shade_from_records(
+                s, rec, rds, config, soft_multi_fn=soft_multi_fn))
+        shade_ckpt_t = jax.checkpoint(
+            lambda s, rec, rds, tm: shade_from_records(
+                s, rec, rds, config, trans_multi=tm))
+        _closest = closest_fn or intersect.closest_hit
+        hoist_soft = (soft_multi_fn is not None and config.shadows
+                      and config.soft_shadows and scene.lights.count > 0)
+
+        def body(s, rds):
+            rec = _closest(s, jnp.broadcast_to(ro, rds.shape), rds, config.ray_min)
+            if hoist_soft:
+                p_off, dirs, mags = shadow_query_inputs(s, rec, config)
+                trans = soft_multi_fn(s, p_off, dirs, mags)
+                return shade_ckpt_t(s, rec, rds, trans)
+            return shade_ckpt(s, rec, rds)
+    else:
+        body = lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn,
+                                         soft_multi_fn=soft_multi_fn)
     if n <= chunk:
         return body(scene, rd)
     pad = (-n) % chunk
