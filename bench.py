@@ -152,36 +152,48 @@ def phase_grad(scene_name, size, frames, repeats, platform=None):
     target = jnp.zeros((config.height, config.width, 3), jnp.float32)
     soft_cfg = dataclasses.replace(config, soft_shadows=True)
 
-    def loss_fn(params):
-        s = diff_render.merge_material_params(scene, params)
-        img = diff_render.render_soft_f32(s, soft_cfg)
-        return jnp.mean((img - target) ** 2)
+    def make_steps(payload_grad):
+        def loss_fn(params):
+            s = diff_render.merge_material_params(scene, params)
+            img = diff_render.render_soft_f32(s, soft_cfg, payload_grad=payload_grad)
+            return jnp.mean((img - target) ** 2)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def steps(params, n):
-        def body(p, _):
-            loss, g = jax.value_and_grad(loss_fn)(p)
-            p = jax.tree_util.tree_map(lambda x, gx: x - 1e-2 * gx, p, g)
-            return p, loss
-        return jax.lax.scan(body, params, None, length=n)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def steps(params, n):
+            def body(p, _):
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                p = jax.tree_util.tree_map(lambda x, gx: x - 1e-2 * gx, p, g)
+                return p, loss
+            return jax.lax.scan(body, params, None, length=n)
+        return steps
 
     print(f"bench: scene={scene_name} {w}x{h} fwd+bwd steps/dispatch={frames} "
           f"device={jax.devices()[0]}", file=sys.stderr)
     params = diff_render.material_params(scene)
-    t0 = time.perf_counter()
-    _, losses = steps(params, frames)
-    float(jnp.asarray(losses)[-1])
-    print(f"compile+first dispatch: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    best = float("inf")
-    for _ in range(repeats):
+    results = {}
+    # payload_grad=True is the full-gradient default (headline); False is the
+    # material/light-fit mode (kernel-emitted detached payload) — both in one
+    # subprocess so they share a tunnel window and are A/B-comparable
+    variants = [("ms_per_frame", True), ("ms_payload_off", False)]
+    if scene.triangles.count > 10000:
+        variants = variants[:1]  # big-mesh phase: one compile fits the timeout
+    for tag, pg in variants:
+        steps = make_steps(pg)
         t0 = time.perf_counter()
         _, losses = steps(params, frames)
         float(jnp.asarray(losses)[-1])
-        best = min(best, time.perf_counter() - t0)
-    ms = best * 1e3 / frames
-    print(f"best: {ms:.2f} fwd+bwd ms/frame (loss {float(losses[-1]):.5f})",
-          file=sys.stderr)
-    return {"kind": "grad", "scene": scene_name, "size": size, "ms_per_frame": ms}
+        print(f"payload_grad={pg} compile+first dispatch: "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _, losses = steps(params, frames)
+            float(jnp.asarray(losses)[-1])
+            best = min(best, time.perf_counter() - t0)
+        results[tag] = best * 1e3 / frames
+        print(f"payload_grad={pg} best: {results[tag]:.2f} fwd+bwd ms/frame "
+              f"(loss {float(losses[-1]):.5f})", file=sys.stderr)
+    return {"kind": "grad", "scene": scene_name, "size": size, **results}
 
 
 def orchestrate(args) -> int:
@@ -240,6 +252,9 @@ def orchestrate(args) -> int:
             extras[f"{tag}_fwd_bwd_ms"] = round(r["ms_per_frame"], 3)
             extras[f"{tag}_fwd_bwd_vs_baseline_frame"] = round(
                 BASELINE_FRAME_MS / r["ms_per_frame"], 2)
+            if "ms_payload_off" in r:
+                extras[f"{tag}_fwd_bwd_payload_off_ms"] = round(
+                    r["ms_payload_off"], 3)
     print(json.dumps({
         "metric": "primary_rays_per_s",
         "value": best["rays_per_s"],
