@@ -253,6 +253,8 @@ def orchestrate(args) -> int:
         try:
             with open(f) as fh:
                 rec = json.load(fh)
+            # the driver wraps our JSON line: {"n":..., "parsed": {...}}
+            rec = rec.get("parsed", rec)
             if rec.get("metric") == "primary_rays_per_s" and rec.get("value"):
                 prior.append((rec["value"], os.path.basename(f)))
         except Exception:

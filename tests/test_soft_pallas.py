@@ -398,3 +398,39 @@ def test_render_soft_payload_grad_off_matches():
 
     g_v0 = np.asarray(jax.grad(v0_loss)(scene.triangles.v0))
     assert np.isfinite(g_v0).all() and np.abs(g_v0).sum() > 0
+
+
+def test_streamed_grads_finite_difference(monkeypatch):
+    """FD spot-check THROUGH the streamed kernels (stream forced): the
+    analytic gradient of a pixel-loss w.r.t. a light position and a vertex
+    coordinate must match central differences."""
+    from raytpu.render import pallas_soft as ps
+
+    monkeypatch.setattr(ps, "MAX_TRIS", 0)  # force DMA streaming
+    scene = scenes.get("bunny").build()
+    # beta=40 + eps=4e-3: the same smoothness/step regime as test_grad.py's
+    # FD suite (beta=300's near-hard sigmoid undersamples at any fp32 step)
+    cfg = RenderConfig(width=32, height=32, soft_beta=40.0)
+    eps = 4e-3
+
+    def fd_check(loss, tol_rel=0.12, tol_abs=1e-4):
+        g = float(jax.grad(loss)(jnp.float32(0.0)))
+        fd = (float(loss(jnp.float32(eps)))
+              - float(loss(jnp.float32(-eps)))) / (2 * eps)
+        assert abs(g - fd) <= tol_rel * abs(fd) + tol_abs, (g, fd)
+
+    def loss_light(x):
+        pos = scene.lights.position.at[0, 0].add(x)
+        s = dataclasses.replace(
+            scene, lights=dataclasses.replace(scene.lights, position=pos))
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=True))
+
+    fd_check(loss_light)
+
+    def loss_v0(x):
+        v0 = scene.triangles.v0.at[10, 1].add(x)
+        tr = dataclasses.replace(scene.triangles, v0=v0)
+        s = dataclasses.replace(scene, triangles=tr)
+        return jnp.mean(diff_render.render_soft_f32(s, cfg, kernels=True))
+
+    fd_check(loss_v0)
