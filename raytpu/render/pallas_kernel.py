@@ -1658,12 +1658,15 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
 
 MEGA3_RING = 8  #: SMEM DMA ring depth (slots of (8, 256) f32 = 8 KB each)
 MEGA3_RING_COARSE = 4  #: shallower ring in coarse mode (fewer, bigger folds)
-MEGA3_FINE_MAX_G = 4096  #: per-GROUP worklists up to this many groups; the
-#   worklist SMEM is O(ng) per tile, so bigger scenes switch to COARSE mode
-#   (one worklist entry = one whole super-group, folded unconditionally)
-MEGA3_WL_SMEM_ENTRIES = 8192  #: per-tile worklist SMEM budget (int32 entries,
-#   summed over lights); past it COARSE2 lifts entries to super-super-groups
-#   (8 sgs = 512 triangles each), keeping the worklist O(T/512) per tile
+MEGA3_FINE_MAX_G = 4096  #: per-GROUP (fine) worklists up to this many
+#   groups.  NOT an SMEM bound: a fine closest pass at 9.3k groups compiled
+#   and ran but measured 122 vs coarse's 68 ms on bunny50k (round 4) — the
+#   per-entry fori control (SMEM read + bit tests + pl.when) beats the
+#   folds saved by 8x-finer culling at that scale
+MEGA3_WL_SMEM_ENTRIES = 8192  #: per-tile worklist SMEM budget (int32
+#   entries, summed over the pass's worklists: 1 for closest, L for
+#   shadows).  Coarse needs L*nsg entries; past that COARSE2 lifts entries
+#   to super-super-groups (8 sgs = 512 triangles), keeping O(T/512)
 MEGA3_MAX_TRIS = 1048576  #: coarse2 ceiling (nssg = 2048 per light at 1M)
 
 
@@ -1683,10 +1686,13 @@ def pack_triangles_sg(tri_blob):
 
 def mega3_mode(ng: int, n_lights: int) -> str:
     """Streaming worklist mode for ``ng`` cull groups x ``n_lights``
-    worklists sharing the per-tile SMEM budget."""
+    worklists sharing the per-tile SMEM budget.  The closest-hit pass has
+    ONE worklist and so stays fine (8x finer culling) to ~16k groups;
+    multi-light shadow passes drop to coarse/coarse2 earlier."""
+    L = max(n_lights, 1)
     if ng <= MEGA3_FINE_MAX_G:
         return "fine"
-    if max(n_lights, 1) * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES:
+    if L * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES:
         return "coarse"
     return "coarse2"
 
@@ -2053,17 +2059,25 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     glo = jnp.pad(glo, ((0, pad), (0, 0)), constant_values=jnp.inf)
     ghi = jnp.pad(ghi, ((0, pad), (0, 0)), constant_values=-jnp.inf)
 
-    mode = mega3_mode(ng, L if (config.shadows and T) else 1)
     nssg = nsg // 8
-    # first worklist (DMA issue order) and packed-entry worklist lengths
-    nwl1 = nssg if mode == "coarse2" else nsg
-    nge = {"fine": ng, "coarse": nsg, "coarse2": 1}[mode]
-    D = MEGA3_RING if mode == "fine" else MEGA3_RING_COARSE
+    # per-PASS modes: the closest pass has one worklist (fine culling holds
+    # to bigger meshes); the shadow pass shares the budget across L lights
+    mode_c = mega3_mode(ng, 1)
+    mode_s = mega3_mode(ng, L if (config.shadows and T) else 1)
+
+    def _wl_dims(mode):
+        nwl1 = nssg if mode == "coarse2" else nsg
+        nge = {"fine": ng, "coarse": nsg, "coarse2": 1}[mode]
+        D = MEGA3_RING if mode == "fine" else MEGA3_RING_COARSE
+        return nwl1, nge, D
+
+    nwl1_c, nge_c, D_c = _wl_dims(mode_c)
+    nwl1_s, nge_s, D_s = _wl_dims(mode_s)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
     smem_t = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     vtile = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     acc_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.float32)
-    ring = [
+    ring = lambda D: [
         pltpu.SMEM((D, 8, 256), jnp.float32),
         pltpu.SemaphoreType.DMA((D,)),
     ]
@@ -2074,23 +2088,23 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     # ---- XLA: primary-ray worklists (O(tiles): analytic camera bounds) ----
     rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
     cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
-    sg_wl, g_wl, cnts = mega3_worklists(cullm, mode)
+    sg_wl, g_wl, cnts = mega3_worklists(cullm, mode_c)
 
     # ---- closest-hit launch ----
-    kern = _make_mega3_closest_kernel(config, S, P, W, H, tiled, mode)
+    kern = _make_mega3_closest_kernel(config, S, P, W, H, tiled, mode_c)
     outs = pl.pallas_call(
         kern,
         grid=(nt,),
         in_specs=[
             smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
-            smem_t((1, 1, nwl1)), smem_t((1, 1, nge)), smem_t((1, 1, 2)),
+            smem_t((1, 1, nwl1_c)), smem_t((1, 1, nge_c)), smem_t((1, 1, 2)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[vtile] * 11 + [
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)],
         out_shape=[acc_shape] * 11 + [
             jax.ShapeDtypeStruct((nt, 1, 8), jnp.float32)],
-        scratch_shapes=ring,
+        scratch_shapes=ring(D_c),
         interpret=interpret,
     )(cam, sph_in, pln_in, sg_wl[:, None, :], g_wl[:, None, :],
       cnts[:, None, :], blob)
@@ -2112,7 +2126,7 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
             cm = accel.light_shadow_cull_from_aabb(
                 bb_lo, bb_hi, scene.lights.position[li_i],
                 scene.lights.direction[li_i], is_pt, glo, ghi, tmin)
-            s_, g_, c_ = mega3_worklists(cm, mode)
+            s_, g_, c_ = mega3_worklists(cm, mode_s)
             sgl.append(s_)
             gl.append(g_)
             cl.append(c_)
@@ -2120,19 +2134,19 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
         sh_g = jnp.stack(gl, axis=1)  # (nt, L, ng)
         sh_c = jnp.stack(cl, axis=1)  # (nt, L, 2)
     else:
-        sh_sg = jnp.zeros((nt, max(L, 1), nwl1), jnp.int32)
-        sh_g = jnp.zeros((nt, max(L, 1), nge), jnp.int32)
+        sh_sg = jnp.zeros((nt, max(L, 1), nwl1_s), jnp.int32)
+        sh_g = jnp.zeros((nt, max(L, 1), nge_s), jnp.int32)
         sh_c = jnp.zeros((nt, max(L, 1), 2), jnp.int32)
 
     # ---- shadow + shade launch ----
-    kern = _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, mode, stream)
+    kern = _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, mode_s, stream)
     colors = pl.pallas_call(
         kern,
         grid=(nt,),
         in_specs=[
             smem((1, 16)), smem((max(S, 1), 11)), smem((max(P, 1), 11)),
             smem((max(L, 1), 8)),
-            smem_t((1, max(L, 1), nwl1)), smem_t((1, max(L, 1), nge)),
+            smem_t((1, max(L, 1), nwl1_s)), smem_t((1, max(L, 1), nge_s)),
             smem_t((1, max(L, 1), 2)),
             pl.BlockSpec(memory_space=pl.ANY),
             vtile, vtile, vtile, vtile,
@@ -2140,7 +2154,7 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
         ],
         out_specs=pl.BlockSpec((3, 8, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, rows_pad, 128), jnp.float32),
-        scratch_shapes=ring,
+        scratch_shapes=ring(D_s),
         interpret=interpret,
     )(cam, sph_in, pln_in, li_in, sh_sg, sh_g, sh_c, blob,
       t_acc, nx_a, ny_a, nz_a, *accs[4:])
