@@ -88,6 +88,10 @@ def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,
             and scene.spheres.count <= _pk.MEGA2_MAX_UNROLL
             and scene.planes.count <= _pk.MEGA2_MAX_UNROLL
             and scene.lights.count <= _pk.MEGA2_MAX_LIGHTS
+            # coarse2 worklist SMEM (same bound as the forward router): a
+            # many-light million-triangle scene must fall back to jnp
+            and scene.lights.count * -(-scene.triangles.count // 512)
+            <= _pk.MEGA3_WL_SMEM_ENTRIES
         )
     soft_multi_fn = None
     closest_fn = detached_closest_hit if detached else None

@@ -85,6 +85,9 @@ def _mega2_fits(scene: Scene) -> bool:
         # the shadow kernels unroll per light: a >MAX_LIGHTS scene would
         # build an over-unrolled kernel (compile blowup, not wrong pixels)
         and scene.lights.count <= pk.MEGA2_MAX_LIGHTS
+        # streamed worklist SMEM bound (same as the forward router)
+        and scene.lights.count * -(-scene.triangles.count // 512)
+        <= pk.MEGA3_WL_SMEM_ENTRIES
     )
 
 

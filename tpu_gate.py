@@ -209,13 +209,25 @@ def main(argv=None) -> int:
     results = []
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
 
+    # --only runs MERGE into the existing artifact (a partial run must not
+    # clobber the full per-kernel record)
+    carried = []
+    if args.only and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                carried = [r for r in json.load(f).get("results", [])
+                           if r.get("kernel") not in entries]
+        except Exception:
+            carried = []
+
     def flush():
+        merged = carried + results
         with open(out_path, "w") as f:
             json.dump({
                 "platform": args.platform or "default(tpu)",
-                "results": results,
-                "ok": sum(1 for r in results if r["status"] == "ok"),
-                "total": len(entries),
+                "results": merged,
+                "ok": sum(1 for r in merged if r["status"] == "ok"),
+                "total": len(carried) + len(entries),
             }, f, indent=1)
 
     for entry in entries:
