@@ -56,20 +56,13 @@ def _payload_closest_hit(scene, ro, rd, tmin):
     still flow through the soft transmittance, and material/light gradients
     are untouched (they never pass through the payload).  Select with
     ``render_soft_f32(..., payload_grad=False)``."""
-    from raytpu.ops import intersect
     from raytpu.render import pallas_soft
 
     sg = jax.lax.stop_gradient
     ro_b = jnp.broadcast_to(ro, rd.shape)
     t, idx, normal, mat = pallas_soft.scene_min_t_mega2(
         sg(scene), sg(ro_b), sg(rd), tmin, payload=True)
-    hit = jnp.isfinite(t)
-    t_safe = jnp.where(hit, t, 0.0)
-    point = ro_b + t_safe[:, None] * rd
-    return intersect.HitRecords(
-        hit=hit, t=jnp.where(hit, t, jnp.inf), point=point,
-        normal=normal, material=mat,
-    )
+    return pallas_soft.hit_records_from_payload(ro_b, rd, t, normal, mat)
 
 
 def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,

@@ -113,12 +113,7 @@ def _local_closest_hit(scene: Scene, ro, rd, tmin, tri_prio_offset, use_pallas: 
         # (bit-identical to assemble_hit_records; tests pin it)
         t, idx, normal, mat = ps.scene_min_t_mega2(
             scene, ro_b, rd, float(tmin), payload=True)
-        hit = jnp.isfinite(t)
-        t_safe = jnp.where(hit, t, 0.0)
-        rec = intersect.HitRecords(
-            hit=hit, t=jnp.where(hit, t, jnp.inf),
-            point=ro_b + t_safe[:, None] * rd, normal=normal, material=mat,
-        )
+        rec = ps.hit_records_from_payload(ro_b, rd, t, normal, mat)
     else:
         rec = intersect.closest_hit(scene, ro, rd, tmin)
         tmat = intersect.scene_t_matrix(scene, ro, rd, tmin, jnp.inf, shadow_pass=False)

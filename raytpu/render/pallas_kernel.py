@@ -1663,10 +1663,11 @@ MEGA3_FINE_MAX_G = 4096  #: per-GROUP (fine) worklists up to this many
 #   and ran but measured 122 vs coarse's 68 ms on bunny50k (round 4) — the
 #   per-entry fori control (SMEM read + bit tests + pl.when) beats the
 #   folds saved by 8x-finer culling at that scale
-MEGA3_WL_SMEM_ENTRIES = 8192  #: per-tile worklist SMEM budget (int32
-#   entries, summed over the pass's worklists: 1 for closest, L for
-#   shadows).  Coarse needs L*nsg entries; past that COARSE2 lifts entries
-#   to super-super-groups (8 sgs = 512 triangles), keeping O(T/512)
+MEGA3_WL_SMEM_ENTRIES = 8192  #: per-tile worklist budget in int32 entries
+#   PER ARRAY; each pass allocates two arrays (DMA-issue + packed-entry), so
+#   the true SMEM footprint is up to 2x this (64 KB total).  Fine mode needs
+#   L*(ng + nsg) entries total; coarse 2*L*nsg; past that COARSE2 lifts
+#   entries to super-super-groups (8 sgs = 512 triangles), keeping O(T/512)
 MEGA3_MAX_TRIS = 1048576  #: coarse2 ceiling (nssg = 2048 per light at 1M)
 
 
@@ -1686,11 +1687,13 @@ def pack_triangles_sg(tri_blob):
 
 def mega3_mode(ng: int, n_lights: int) -> str:
     """Streaming worklist mode for ``ng`` cull groups x ``n_lights``
-    worklists sharing the per-tile SMEM budget.  The closest-hit pass has
-    ONE worklist and so stays fine (8x finer culling) to ~16k groups;
-    multi-light shadow passes drop to coarse/coarse2 earlier."""
+    worklists sharing the per-tile SMEM budget.  Fine caps at
+    MEGA3_FINE_MAX_G groups (past it the per-entry fori control costs more
+    than the folds finer culling saves — measured, PERF.md round 4) AND at
+    the SMEM-entry budget, which a many-light pass exhausts sooner."""
     L = max(n_lights, 1)
-    if ng <= MEGA3_FINE_MAX_G:
+    if (ng <= MEGA3_FINE_MAX_G
+            and L * (ng + ng // 8) <= 2 * MEGA3_WL_SMEM_ENTRIES):
         return "fine"
     if L * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES:
         return "coarse"

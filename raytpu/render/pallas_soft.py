@@ -132,10 +132,11 @@ def _tri_soft_read(read, ox, oy, oz, dx, dy, dz, tmin, tmax, beta):
 
 
 def _pack_soft_sg(tri_blob):
-    """(T, TRI_COLS) triangle blob -> (ng, 256) DMA rows, stride-SOFT_SG_COLS
-    cols [0:13) the geometry record, col 13 the GLOBAL triangle id (f32 —
-    exact to 2^24, far past STREAM_MAX_TRIS).  Padded triangles are
-    degenerate (zero record -> every gate fails, id never selected)."""
+    """(T, TRI_COLS) triangle blob -> (ng, 256) DMA rows of stride-
+    SOFT_SG_COLS records: cols [0:13) geometry, col 13 material id, col
+    TRI_COLS (= 14) the GLOBAL triangle id (f32 — exact to 2^24, far past
+    STREAM_MAX_TRIS).  Padded triangles are degenerate (zero record ->
+    every gate fails, id never selected)."""
     T = tri_blob.shape[0]
     ids = jnp.arange(T, dtype=jnp.float32)[:, None]
     tb = jnp.concatenate([tri_blob, ids], axis=1)  # (T, SOFT_SG_COLS)
@@ -398,29 +399,9 @@ def _make_mint_stream_kernel(tmin, S, P, mode, payload=False):
         acc = [jnp.full((8, 128), pk.INF, jnp.float32)] + [
             jnp.zeros((8, 128), jnp.float32) for _ in range(NC - 1)]
 
-        def upd(tc, fid, acc, pay=None):
-            sel = tc < acc[0]  # strict: first-in-fold-order wins ties
-            new = [jnp.where(sel, tc, acc[0]), jnp.where(sel, fid, acc[1])]
-            if payload:
-                new += [jnp.where(sel, pv, av) for pv, av in zip(pay, acc[2:])]
-            return new
-
-        for s in range(S):
-            tc = pk._sphere_t_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
-            pay = None
-            if payload:
-                cnx = ox + tc * dx - sph_ref[s, 0]
-                cny = oy + tc * dy - sph_ref[s, 1]
-                cnz = oz + tc * dz - sph_ref[s, 2]
-                n_len = jnp.sqrt(jnp.maximum(
-                    cnx * cnx + cny * cny + cnz * cnz, 1e-20))
-                pay = (cnx / n_len, cny / n_len, cnz / n_len, sph_ref[s, 4])
-            acc = upd(tc, _fid(s, 0), acc, pay)
-        for p in range(P):
-            tc = pk._plane_t_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
-            pay = (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 4]) \
-                if payload else None
-            acc = upd(tc, _fid(p, S), acc, pay)
+        upd = _mint_upd(payload)
+        acc = _fold_sp_mint(sph_ref, pl_ref, S, P, ox, oy, oz, dx, dy, dz,
+                            tmin, upd, payload, acc)
 
         def fold_entry(slot, gr, carry):
             acc = list(carry)
@@ -1003,6 +984,46 @@ def _fid(k, base_id):
     return (k + base_id).astype(jnp.float32)
 
 
+def _mint_upd(payload):
+    """Winner-search min-fold update, shared by the chain and streamed
+    kernels: strict < keeps the first-in-fold-order winner on ties; with
+    ``payload`` the winner's (normal, material) registers ride along."""
+
+    def upd(tc, fid, acc, pay=None):
+        sel = tc < acc[0]
+        new = [jnp.where(sel, tc, acc[0]), jnp.where(sel, fid, acc[1])]
+        if payload:
+            new += [jnp.where(sel, pv, av) for pv, av in zip(pay, acc[2:])]
+        return new
+
+    return upd
+
+
+def _fold_sp_mint(sph_ref, pl_ref, S, P, ox, oy, oz, dx, dy, dz, tmin,
+                  upd, payload, acc):
+    """Unrolled sphere/plane winner folds (+ optional payload emission),
+    shared by the chain and streamed mint kernels.  The sphere normal uses
+    the same post-selection normalize formula as assemble_hit_records
+    (reference: source/Scene.cpp:40)."""
+    for s in range(S):
+        tc = pk._sphere_t_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
+        pay = None
+        if payload:
+            cnx = ox + tc * dx - sph_ref[s, 0]
+            cny = oy + tc * dy - sph_ref[s, 1]
+            cnz = oz + tc * dz - sph_ref[s, 2]
+            n_len = jnp.sqrt(jnp.maximum(
+                cnx * cnx + cny * cny + cnz * cnz, 1e-20))
+            pay = (cnx / n_len, cny / n_len, cnz / n_len, sph_ref[s, 4])
+        acc = upd(tc, _fid(s, 0), acc, pay)
+    for p in range(P):
+        tc = pk._plane_t_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
+        pay = (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 4]) \
+            if payload else None
+        acc = upd(tc, _fid(p, S), acc, pay)
+    return acc
+
+
 def _make_mint_kernel(tmin, S, P, Tl, ngl, base_id, first, culled,
                       payload=False):
     """One launch of the winner-search chain over its SMEM triangle subset;
@@ -1025,32 +1046,10 @@ def _make_mint_kernel(tmin, S, P, Tl, ngl, base_id, first, culled,
             acc = [r[:] for r in rest[:NC]]
             out_refs = rest[NC:]
 
-        def upd(tc, fid, acc, pay=None):
-            sel = tc < acc[0]  # strict: first-in-fold-order wins ties
-            new = [jnp.where(sel, tc, acc[0]), jnp.where(sel, fid, acc[1])]
-            if payload:
-                new += [jnp.where(sel, pv, av) for pv, av in zip(pay, acc[2:])]
-            return new
-
+        upd = _mint_upd(payload)
         if first:
-            for s in range(S):
-                tc = pk._sphere_t_reg(sph_ref, s, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
-                pay = None
-                if payload:
-                    # sphere normal normalized after selection semantics:
-                    # same formula as assemble (reference: Scene.cpp:40)
-                    cnx = ox + tc * dx - sph_ref[s, 0]
-                    cny = oy + tc * dy - sph_ref[s, 1]
-                    cnz = oz + tc * dz - sph_ref[s, 2]
-                    n_len = jnp.sqrt(jnp.maximum(
-                        cnx * cnx + cny * cny + cnz * cnz, 1e-20))
-                    pay = (cnx / n_len, cny / n_len, cnz / n_len, sph_ref[s, 4])
-                acc = upd(tc, _fid(s, 0), acc, pay)
-            for p in range(P):
-                tc = pk._plane_t_reg(pl_ref, p, ox, oy, oz, dx, dy, dz, tmin, pk.INF)
-                pay = (pl_ref[p, 0], pl_ref[p, 1], pl_ref[p, 2], pl_ref[p, 4]) \
-                    if payload else None
-                acc = upd(tc, _fid(p, S), acc, pay)
+            acc = _fold_sp_mint(sph_ref, pl_ref, S, P, ox, oy, oz, dx, dy, dz,
+                                tmin, upd, payload, acc)
         if Tl:
             def fold_group(base, acc):
                 for kk in range(MEGA2_G):
@@ -1085,6 +1084,21 @@ def _mint_outputs(outs, R, payload):
     normal = jnp.stack([outs[2 + c].reshape(-1)[:R] for c in range(3)], axis=1)
     mat = outs[5].reshape(-1)[:R].astype(jnp.int32)
     return t, idx, normal, mat
+
+
+def hit_records_from_payload(ro_b, rd, t, normal, mat):
+    """HitRecords from a payload-emitting winner search — the single source
+    of the payload->records assembly (bit-identical to
+    ``intersect.assemble_hit_records``; used by the sharded closest hit and
+    the detached-payload differentiable path)."""
+    from raytpu.ops import intersect
+
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    return intersect.HitRecords(
+        hit=hit, t=jnp.where(hit, t, jnp.inf),
+        point=ro_b + t_safe[:, None] * rd, normal=normal, material=mat,
+    )
 
 
 def scene_min_t_mega2(scene: Scene, ro, rd, tmin, stream: bool | None = None,

@@ -205,30 +205,37 @@ def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=Non
     n = rd.shape[0]
     nprim = max(scene.num_primitives, 1)
     chunk = config.ray_chunk or _auto_chunk(n, nprim)
-    if remat:
+    if remat and closest_fn is not None:
         # remat boundary AFTER the closest hit AND the soft-transmittance
         # kernels: the hit records (~11 floats/ray) and the (L, R)
         # transmittance are cheap residuals (the custom-VJP kernels save
         # O(R) residuals regardless), so the backward recomputes only the
         # elementwise shade tail — not the winner search, payload assembly,
-        # or the culled soft kernels (PERF.md round 4)
+        # or the culled soft kernels (PERF.md round 4).  Only valid when
+        # ``closest_fn`` is a detached/O(R)-residual override: the dense
+        # jnp closest hit must stay INSIDE the checkpoint or its O(R*C)
+        # t-matrix residuals get saved for the transpose — the exact
+        # HBM-bound backward blowup remat was introduced to fix.
         shade_ckpt = jax.checkpoint(
             lambda s, rec, rds: shade_from_records(
                 s, rec, rds, config, soft_multi_fn=soft_multi_fn))
         shade_ckpt_t = jax.checkpoint(
             lambda s, rec, rds, tm: shade_from_records(
                 s, rec, rds, config, trans_multi=tm))
-        _closest = closest_fn or intersect.closest_hit
         hoist_soft = (soft_multi_fn is not None and config.shadows
                       and config.soft_shadows and scene.lights.count > 0)
 
         def body(s, rds):
-            rec = _closest(s, jnp.broadcast_to(ro, rds.shape), rds, config.ray_min)
+            rec = closest_fn(s, jnp.broadcast_to(ro, rds.shape), rds, config.ray_min)
             if hoist_soft:
                 p_off, dirs, mags = shadow_query_inputs(s, rec, config)
                 trans = soft_multi_fn(s, p_off, dirs, mags)
                 return shade_ckpt_t(s, rec, rds, trans)
             return shade_ckpt(s, rec, rds)
+    elif remat:
+        body = jax.checkpoint(
+            lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn,
+                                      soft_multi_fn=soft_multi_fn))
     else:
         body = lambda s, rds: shade_rays(s, ro, rds, config, closest_fn=closest_fn,
                                          soft_multi_fn=soft_multi_fn)

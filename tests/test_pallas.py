@@ -331,3 +331,15 @@ def test_bunny50k_scene_builds_and_routes():
     area = 0.5 * np.linalg.norm(
         np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=1).sum()
     np.testing.assert_allclose(area, 0.5, rtol=1e-6)
+
+
+def test_mega3_mode_respects_worklist_smem_budget():
+    """The fine branch must honor BOTH the group cap and the per-tile
+    worklist SMEM budget: a many-light pass exhausts entries sooner (a fine
+    8-light 3,840-group pass would allocate ~140 KB of worklist SMEM and
+    fail only at real-TPU lowering — code-review round 4)."""
+    assert pk.mega3_mode(448, 3) == "fine"
+    assert pk.mega3_mode(4096, 3) == "fine"  # round-3 behavior preserved
+    assert pk.mega3_mode(3840, 8) == "coarse"  # budget-bound, not group-bound
+    assert pk.mega3_mode(9352, 1) == "coarse"  # past FINE_MAX_G (measured)
+    assert pk.mega3_mode(37376, 3) == "coarse2"
