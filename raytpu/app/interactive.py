@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--renderer", default="auto", choices=["auto", "jnp", "pallas"])
     p.add_argument("--platform", default=None)
     p.add_argument("--max-frames", type=int, default=0, help="exit after N frames (0 = run until quit)")
+    p.add_argument("--sync", action="store_true",
+                   help="fetch each frame before dispatching the next "
+                        "(disables the double-buffered dispatch pipeline)")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -63,7 +66,8 @@ def main(argv=None) -> int:
     timer = FrameTimer()
     bench = Benchmark(10)
     frames = 0
-    frame = None  # last rendered frame (None until the first render)
+    frame = None  # last displayed frame (None until the first render)
+    pending = None  # in-flight dispatched device array (double buffering)
     print(f"raytpu interactive: {args.scene} {w}x{h} backend={backend}")
     running = True
     while running:
@@ -112,7 +116,18 @@ def main(argv=None) -> int:
 
         t = timer.total
         s = spec.animate(scene, t).with_camera(fly.camera())
-        frame = np.asarray(render_fn(s, config))
+        # double-buffered dispatch: enqueue frame N+1 (JAX dispatch is async)
+        # BEFORE fetching frame N, so device execution and the per-dispatch
+        # tunnel latency overlap with input handling + display of the
+        # previous frame (costs one frame of input latency; --sync disables)
+        dispatched = render_fn(s, config)
+        if args.sync:
+            frame = np.asarray(dispatched)
+        else:
+            # first iteration has nothing in flight: display this frame (it
+            # shows once more next iteration while the pipeline fills)
+            frame = np.asarray(pending if pending is not None else dispatched)
+            pending = dispatched
         surf = pygame.surfarray.make_surface(frame.transpose(1, 0, 2))
         screen.blit(surf, (0, 0))
         pygame.display.flip()

@@ -880,6 +880,9 @@ def _mega_kernel(config: RenderConfig, S, P, T, L, W, H,
                  cam_ref, sph_ref, pl_ref, tri_ref, li_ref, out_ref):
     """One (8,128) ray tile end to end.  cam/sph/pl/tri/li live in SMEM."""
     i = pl.program_id(0)
+    # cam col 14 holds a global tile offset (0 for whole-frame renders) so a
+    # px-sharded chip can run this same kernel on its contiguous tile range
+    i = i + cam_ref[0, 14].astype(jnp.int32)
     tmin = float(config.ray_min)
 
     # ---- raygen (reference: source/Renderer.cpp:104-114) ----
@@ -1073,14 +1076,22 @@ def _mega_pack(scene: Scene, config: RenderConfig):
     return cam, sph_blob, pl_blob, tri_blob, pack_lights(scene.lights)
 
 
-def render_image_mega_f32(scene: Scene, config: RenderConfig):
-    """Whole-frame megakernel render -> (H, W, 3) f32."""
+def render_image_mega_f32(scene: Scene, config: RenderConfig,
+                          tile0=None, tiles: int | None = None):
+    """Whole-frame megakernel render -> (H, W, 3) f32.
+
+    With ``tile0``/``tiles`` set, renders only the 1024-ray tiles
+    [tile0, tile0+tiles) and returns (tiles*1024, 3) colors in row-major ray
+    order — the per-chip body of the px-sharded fused path (``tile0`` may be
+    traced, e.g. ``axis_index('px') * tiles`` inside shard_map)."""
     W, H = config.width, config.height
     R = W * H
-    rows = _cdiv(R, 128)
-    rows_pad = _cdiv(rows, 8) * 8
-    grid_n = rows_pad // 8
+    whole = tiles is None
+    grid_n = _cdiv(R, 1024) if whole else tiles
+    rows_pad = grid_n * 8
     cam, sph, pln, tri, li = _mega_pack(scene, config)
+    if not whole:
+        cam = cam.at[0, 14].set(jnp.asarray(tile0, jnp.float32))
     S, P, T, L = sph.shape[0], pln.shape[0], tri.shape[0], li.shape[0]
     interpret = _interpret or jax.default_backend() == "cpu"
 
@@ -1106,8 +1117,10 @@ def render_image_mega_f32(scene: Scene, config: RenderConfig):
         tri if T else jnp.zeros((1, 20), jnp.float32),
         li if L else jnp.zeros((1, 8), jnp.float32),
     )
-    colors = jnp.moveaxis(out.reshape(3, rows_pad * 128), 0, 1)[:R]
-    return colors.reshape(H, W, 3)
+    colors = jnp.moveaxis(out.reshape(3, rows_pad * 128), 0, 1)
+    if whole:
+        return colors[:R].reshape(H, W, 3)
+    return colors  # (tiles*1024, 3), rays [tile0*1024, (tile0+tiles)*1024)
 
 
 # ---------------------------------------------------------------------------
@@ -1141,7 +1154,11 @@ def _mega2_raygen(cam_ref, i, W, H, tiled):
     """Per-tile camera rays as (8,128) registers.  ``tiled``: the tile is a
     compact 32x32 pixel block (tight direction cone -> effective culling);
     otherwise 1024 row-major-consecutive pixels.  Same fp op order as
-    generate_rays (reference: source/Renderer.cpp:104-114)."""
+    generate_rays (reference: source/Renderer.cpp:104-114).
+
+    cam col 14 is a global tile offset (0 for whole-frame renders): a
+    px-sharded chip runs the same kernel over its contiguous tile range."""
+    i = i + cam_ref[0, 14].astype(jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     if tiled:
@@ -1450,12 +1467,18 @@ def _mega2_unfold_colors(cols3, h, w, tiled, R):
     return jnp.moveaxis(flat.reshape(3, h, w), 0, -1)
 
 
-def render_image_mega2_f32(scene: Scene, config: RenderConfig):
+def render_image_mega2_f32(scene: Scene, config: RenderConfig,
+                           tile0=None, tiles: int | None = None):
     """Whole-frame mega2 render -> (H, W, 3) f32.
 
     Two Pallas launch chains (closest-hit, then shadow+shade) with all
     per-ray math on (8,128) registers; XLA in between only builds the
-    per-(tile, light) cull worklists from the closest-hit depths."""
+    per-(tile, light) cull worklists from the closest-hit depths.
+
+    With ``tile0``/``tiles`` set, renders only the 1024-ray tiles
+    [tile0, tile0+tiles) and returns (tiles*1024, 3) colors in mega2 FEED
+    order (tile-major; 32x32 pixel blocks when W,H are 32-divisible) — the
+    per-chip body of the px-sharded fused path."""
     from raytpu.ops import accel, shading as _shading
 
     W, H = config.width, config.height
@@ -1463,11 +1486,15 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
     L = scene.lights.count
     tmin = float(config.ray_min)
     tiled = (W % 32 == 0) and (H % 32 == 0)
-    nt = _cdiv(R, 1024)
+    whole = tiles is None
+    nt_frame = _cdiv(R, 1024)
+    nt = nt_frame if whole else tiles
     rows_pad = nt * 8
     interpret = _interpret or jax.default_backend() == "cpu"
 
     cam, sph, pln, tri_blob, li = _mega_pack(scene, config)
+    if not whole:
+        cam = cam.at[0, 14].set(jnp.asarray(tile0, jnp.float32))
     S, P, T = sph.shape[0], pln.shape[0], tri_blob.shape[0]
     tri_blob = _pad_axis(tri_blob, 0, MEGA2_G, 0.0)  # degenerate pad tris miss
     ng = tri_blob.shape[0] // MEGA2_G
@@ -1491,7 +1518,15 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
     if culled:
         glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)  # (ng, 3) x2
         rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
-        cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
+        cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt_frame, ng)
+        if not whole:
+            # this chip's tile rows; rows past the frame (px-padding tiles)
+            # are all-False -> zero worklist entries for garbage tiles.
+            # (dynamic_slice clamps an out-of-range start, which can only
+            # happen for an all-garbage chip — misaligned worklists there
+            # waste folds on rays that are dropped anyway, never wrong pixels)
+            cullm = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(cullm, ((0, nt), (0, 0))), tile0, nt, 0)
 
     def worklists(cull_sub):
         wl, cnt = chunk_worklist(cull_sub)
@@ -1552,7 +1587,8 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
     t_acc, nx_a, ny_a, nz_a = accs[0], accs[1], accs[2], accs[3]
 
     if L == 0:
-        return jnp.zeros((H, W, 3), jnp.float32)  # no lights -> black (W1)
+        return (jnp.zeros((H, W, 3), jnp.float32) if whole
+                else jnp.zeros((nt * 1024, 3), jnp.float32))  # no lights -> black (W1)
 
     # ---- XLA: shadow-ray cull worklists from the kernel-emitted tile
     # AABBs of offset hit points — O(tiles), no per-ray shadow arrays ----
@@ -1634,7 +1670,11 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig):
         else:
             occs = res
 
-    return _mega2_unfold_colors(colors, H, W, tiled, R)
+    if whole:
+        return _mega2_unfold_colors(colors, H, W, tiled, R)
+    # feed-order rows for this chip's tiles; the sharded caller concatenates
+    # all chips' rows and un-permutes the full frame
+    return jnp.moveaxis(colors.reshape(3, rows_pad * 128), 0, 1)
 
 
 # ---------------------------------------------------------------------------

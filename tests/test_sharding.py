@@ -37,7 +37,33 @@ def test_eight_devices_available():
 def test_sharded_render_bit_identical(scene, single_device_image, px, prim):
     mesh = make_mesh(px=px, prim=prim)
     img = np.asarray(render_image_sharded(scene, CFG, mesh))
-    np.testing.assert_array_equal(img, single_device_image)
+    if prim == 1:
+        # px-only meshes route each chip through the fused whole-frame
+        # megakernel (tile-range raygen): bit-identical to the single-chip
+        # PALLAS router (the megakernel itself carries the documented tiny
+        # flip budget vs the jnp path, tested elsewhere)
+        from raytpu.render import render_image_pallas
+
+        ref = np.asarray(render_image_pallas(scene, CFG))
+        np.testing.assert_array_equal(img, ref)
+    else:
+        np.testing.assert_array_equal(img, single_device_image)
+
+
+@pytest.mark.parametrize("size", [(64, 32), (64, 48)])
+def test_fused_px_mega2_bit_identical(size):
+    """px-only sharding on a mesh scene routes the fused mega2 chain per
+    chip (tiled feed order when 32-divisible, row-major otherwise); output
+    must be bit-identical to the single-chip mega2 whole-frame render."""
+    from raytpu.parallel.sharding import _fused_kind
+    from raytpu.render import render_image_pallas
+
+    bunny = scenes.get("bunny").build()
+    cfg = RenderConfig(width=size[0], height=size[1])
+    assert _fused_kind(bunny, cfg) == "mega2"
+    ref = np.asarray(render_image_pallas(bunny, cfg))
+    img = np.asarray(render_image_sharded(bunny, cfg, make_mesh(px=8, prim=1)))
+    np.testing.assert_array_equal(img, ref)
 
 
 def test_prim_sharding_with_non_divisible_triangles(single_device_image):

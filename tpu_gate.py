@@ -39,7 +39,9 @@ GATE_ENTRIES = [
     "soft_fwd_bwd",        # + custom-VJP backward kernels (dray, dprim) via value_and_grad
     "soft_stream_fine",    # DMA-streamed soft fwd+bwd, per-group worklists (18.7k tris)
     "soft_stream_coarse",  # DMA-streamed soft fwd+bwd, super-group worklists (74.7k tris)
-    "sharded_1x1",         # shard_map composition of the mega2 kernels on a 1x1 mesh
+    "sharded_1x1",         # shard_map winner-search/merge composition, 1x1 mesh
+    "sharded_px_fused_mega",   # px-only fused whole-frame megakernel per chip
+    "sharded_px_fused_mega2",  # px-only fused mega2 chain per chip (tile-range)
 ]
 
 
@@ -158,6 +160,18 @@ def _build(entry: str):
         from raytpu.parallel import make_mesh, render_image_sharded
 
         scene = scenes.get("bunny").build()
+        cfg = RenderConfig(width=64, height=32)
+        mesh = make_mesh(px=1, prim=1, devices=jax.devices()[:1])
+        # fused=False: keep this entry covering the packed winner-search +
+        # any-hit + merge composition (px-only meshes route fused by default)
+        return functools.partial(render_image_sharded, config=cfg, mesh=mesh,
+                                 fused=False), (scene,)
+
+    if entry in ("sharded_px_fused_mega", "sharded_px_fused_mega2"):
+        from raytpu.parallel import make_mesh, render_image_sharded
+
+        name = "reference" if entry.endswith("mega") else "bunny"
+        scene = scenes.get(name).build()
         cfg = RenderConfig(width=64, height=32)
         mesh = make_mesh(px=1, prim=1, devices=jax.devices()[:1])
         return functools.partial(render_image_sharded, config=cfg, mesh=mesh), (scene,)
