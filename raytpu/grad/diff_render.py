@@ -96,6 +96,11 @@ def soft_backends(scene: Scene, cfg: RenderConfig, detached: bool = True,
             closest_fn = functools.partial(detached_closest_hit, min_t_fn=_pallas_min_t)
         elif detached:
             closest_fn = _payload_closest_hit
+    if closest_fn is not None:
+        # every closest_fn this resolver returns is a detached/O(R)-residual
+        # winner search — mark it so render_pixels_f32 may hoist it outside
+        # the remat checkpoint (unmarked overrides stay inside)
+        closest_fn = renderer.mark_detached(closest_fn)
     return closest_fn, soft_multi_fn
 
 

@@ -1732,8 +1732,12 @@ def mega3_mode(ng: int, n_lights: int) -> str:
     than the folds finer culling saves — measured, PERF.md round 4) AND at
     the SMEM-entry budget, which a many-light pass exhausts sooner."""
     L = max(n_lights, 1)
+    # budget enforced PER worklist array (ADVICE r4): fine mode allocates a
+    # (1, L, ng) g_wl block AND a (1, L, nsg) sg_wl block — a pooled 2x bound
+    # admitted L=3, ng=4096 (48 KB g_wl) which only fails at real-TPU lowering
     if (ng <= MEGA3_FINE_MAX_G
-            and L * (ng + ng // 8) <= 2 * MEGA3_WL_SMEM_ENTRIES):
+            and L * ng <= MEGA3_WL_SMEM_ENTRIES
+            and L * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES):
         return "fine"
     if L * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES:
         return "coarse"

@@ -693,7 +693,13 @@ def soft_trans_lights_pallas(scene: Scene, ro, dirs, mags, tmin, beta,
                              stream: bool | None = None):
     """Soft transmittance for all L lights: a mega2-style SMEM launch chain
     up to ``MAX_TRIS`` triangles, a mega3-style DMA-streamed single launch
-    up to ``STREAM_MAX_TRIS`` beyond (``stream`` overrides the routing).
+    up to ``STREAM_MAX_TRIS`` beyond.
+
+    ``stream`` is a ROUTING HINT, not a guarantee (here and in the other
+    ``stream:``-accepting entry points): a degenerate scene (T == 0, or
+    L == 0 where lights are folded) has no triangle stream to drive and
+    always takes the chain path regardless of an explicit ``stream=True``
+    — tests forcing the streamed kernels must use scenes with triangles.
 
     ro (R,3) shared shadow origins; dirs (L,R,3); mags (L,R).
     Returns (L, R) f32 transmittance in [0,1].  Matches

@@ -97,39 +97,26 @@ def shade_from_records(scene: Scene, rec, rd, config: RenderConfig,
     any_fn = any_fn or intersect.any_hit
     n = rd.shape[0]
 
-    # offset shading point along the normal to avoid self-shadowing
-    # (reference: source/Renderer.cpp:126); components-major internals
-    # (raytpu/ops/soa.py) keep the lane axis on rays
+    # offset shading point + per-light directions via shadow_query_inputs —
+    # the ONE place these formulas live (the remat-hoisted transmittance
+    # uses the same helper, so the shadow origins can never drift)
     n_c = soa.comps(rec.normal)
-    p_off = soa.pack(
-        *soa.add(soa.comps(rec.point), soa.scale(n_c, jnp.float32(config.normal_offset)))
-    )
+    p_off, dirs_all, mags_all = shadow_query_inputs(scene, rec, config)
 
     color = (jnp.zeros((n,), jnp.float32),) * 3
     shadow_factor = jnp.ones((n,), jnp.float32)
     mode = config.lighting_mode
 
-    light_dirs = [shading.direction_to_light(scene.lights, li, p_off) for li in range(scene.lights.count)]
     occ_multi = None
-    if any_multi_fn is not None and config.shadows and not config.soft_shadows and light_dirs:
-        occ_multi = any_multi_fn(
-            scene,
-            p_off,
-            jnp.stack([l for l, _ in light_dirs]),
-            jnp.stack([m for _, m in light_dirs]),
-            config.ray_min,
-        )
+    if (any_multi_fn is not None and config.shadows and not config.soft_shadows
+            and dirs_all is not None):
+        occ_multi = any_multi_fn(scene, p_off, dirs_all, mags_all, config.ray_min)
     if (trans_multi is None and soft_multi_fn is not None and config.shadows
-            and config.soft_shadows and light_dirs):
-        trans_multi = soft_multi_fn(
-            scene,
-            p_off,
-            jnp.stack([l for l, _ in light_dirs]),
-            jnp.stack([m for _, m in light_dirs]),
-        )
+            and config.soft_shadows and dirs_all is not None):
+        trans_multi = soft_multi_fn(scene, p_off, dirs_all, mags_all)
 
     for li in range(scene.lights.count):
-        l, mag = light_dirs[li]
+        l, mag = dirs_all[li], mags_all[li]
         if config.shadows and config.soft_shadows:
             # differentiable transmittance in [0,1]; hard limit as beta->inf
             if trans_multi is not None:
@@ -177,6 +164,21 @@ def shade_from_records(scene: Scene, rec, rd, config: RenderConfig,
     return soa.pack(*color)
 
 
+def mark_detached(fn):
+    """Tag a ``closest_fn`` whose residuals are O(R) — a detached winner
+    search whose backward never transposes the O(R*C) t-matrix.  Only such
+    overrides may be hoisted outside the remat checkpoint in
+    ``render_pixels_f32``; unmarked overrides stay inside the full-body
+    checkpoint (ADVICE r4: an unmarked dense closest_fn would silently
+    reintroduce the residual blowup remat exists to fix)."""
+
+    def wrapped(*args, **kwargs):
+        return fn(*args, **kwargs)
+
+    wrapped.detached_residuals = True
+    return wrapped
+
+
 def _auto_chunk(num_rays: int, num_prims: int) -> int:
     """Ray-chunk size keeping the (rays x prims) t-matrix ~<=32M elements.
 
@@ -205,16 +207,17 @@ def render_pixels_f32(scene: Scene, ro, rd, config: RenderConfig, closest_fn=Non
     n = rd.shape[0]
     nprim = max(scene.num_primitives, 1)
     chunk = config.ray_chunk or _auto_chunk(n, nprim)
-    if remat and closest_fn is not None:
+    if (remat and closest_fn is not None
+            and getattr(closest_fn, "detached_residuals", False)):
         # remat boundary AFTER the closest hit AND the soft-transmittance
         # kernels: the hit records (~11 floats/ray) and the (L, R)
         # transmittance are cheap residuals (the custom-VJP kernels save
         # O(R) residuals regardless), so the backward recomputes only the
         # elementwise shade tail — not the winner search, payload assembly,
-        # or the culled soft kernels (PERF.md round 4).  Only valid when
-        # ``closest_fn`` is a detached/O(R)-residual override: the dense
-        # jnp closest hit must stay INSIDE the checkpoint or its O(R*C)
-        # t-matrix residuals get saved for the transpose — the exact
+        # or the culled soft kernels (PERF.md round 4).  Only valid for
+        # ``mark_detached`` overrides (O(R) residuals): a dense
+        # differentiable closest_fn must stay INSIDE the checkpoint or its
+        # O(R*C) t-matrix residuals get saved for the transpose — the exact
         # HBM-bound backward blowup remat was introduced to fix.
         shade_ckpt = jax.checkpoint(
             lambda s, rec, rds: shade_from_records(
