@@ -1145,6 +1145,9 @@ MEGA2_EARLY_EXIT_K = 0  #: shadow all-occluded exit checked every K groups.
 #   as round 2 found for the per-iteration variant.  Kept for re-testing on
 #   future Mosaic versions.
 MEGA2_MAX_SMEM_TRIS = 1200  #: per-launch SMEM triangle budget (~94 KB of 128)
+MEGA2_FORCE_DENSE = False  #: probe hook: disable worklist culling (trace-time)
+#   so every tile folds every group — the known-fold-count calibration point
+#   of the roofline fit (probes/probe_roofline.py); never set in production
 MEGA2_MAX_LAUNCHES = 8  #: chain cap -> mega2 serves up to 9600 triangles
 MEGA2_MAX_LIGHTS = 8
 MEGA2_MAX_UNROLL = 16  #: sphere/plane python-unroll budget per kernel
@@ -1501,7 +1504,7 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig,
     gpl = max(1, MEGA2_MAX_SMEM_TRIS // MEGA2_G)  # groups per launch
     NL = max(1, _cdiv(ng, gpl))
     ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)]
-    culled = T >= 2 * MEGA2_G
+    culled = T >= 2 * MEGA2_G and not MEGA2_FORCE_DENSE
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
     # per-TILE SMEM rows (worklists/counts) advance with the grid index
