@@ -46,8 +46,10 @@ ORCH_PHASES = [
     ("forward", "bunny", "1920x1088", 8, 3),
     ("forward", "optional", "640x480", 16, 3),
     ("forward", "bunny50k", "640x480", 4, 2),  # mega3 DMA-streamed worklists
+    ("forward", "bunny300k", "640x480", 2, 2),  # coarse2 worklists (299k tris)
     ("grad", "optional", "640x480", 8, 2),
     ("grad", "bunny50k", "640x480", 2, 2),  # streamed differentiable path
+    ("grad", "bunny300k", "640x480", 1, 2),  # streamed diff path, coarse2 band
 ]
 
 

@@ -1145,9 +1145,10 @@ MEGA2_EARLY_EXIT_K = 0  #: shadow all-occluded exit checked every K groups.
 #   as round 2 found for the per-iteration variant.  Kept for re-testing on
 #   future Mosaic versions.
 MEGA2_MAX_SMEM_TRIS = 1200  #: per-launch SMEM triangle budget (~94 KB of 128)
-MEGA2_FORCE_DENSE = False  #: probe hook: disable worklist culling (trace-time)
-#   so every tile folds every group — the known-fold-count calibration point
-#   of the roofline fit (probes/probe_roofline.py); never set in production
+MEGA2_FORCE_DENSE = False  #: probe hook (trace-time): fill the cull
+#   worklists so every tile folds every group — the known-fold-count
+#   calibration point of the roofline fit (probes/probe_roofline.py), with
+#   the kernel structure unchanged; never set in production
 MEGA2_MAX_LAUNCHES = 8  #: chain cap -> mega2 serves up to 9600 triangles
 MEGA2_MAX_LIGHTS = 8
 MEGA2_MAX_UNROLL = 16  #: sphere/plane python-unroll budget per kernel
@@ -1504,7 +1505,7 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig,
     gpl = max(1, MEGA2_MAX_SMEM_TRIS // MEGA2_G)  # groups per launch
     NL = max(1, _cdiv(ng, gpl))
     ranges = [(k * gpl, min((k + 1) * gpl, ng)) for k in range(NL)]
-    culled = T >= 2 * MEGA2_G and not MEGA2_FORCE_DENSE
+    culled = T >= 2 * MEGA2_G
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
     # per-TILE SMEM rows (worklists/counts) advance with the grid index
@@ -1522,6 +1523,8 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig,
         glo, ghi = accel.chunk_bounds(scene.triangles, MEGA2_G)  # (ng, 3) x2
         rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
         cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt_frame, ng)
+        if MEGA2_FORCE_DENSE:  # probe hook: full worklists, same kernel shape
+            cullm = jnp.ones_like(cullm)
         if not whole:
             # this chip's tile rows; rows past the frame (px-padding tiles)
             # are all-False -> zero worklist entries for garbage tiles.
@@ -1605,6 +1608,8 @@ def render_image_mega2_f32(scene: Scene, config: RenderConfig,
                 bb_lo, bb_hi, scene.lights.position[li_i],
                 scene.lights.direction[li_i], is_pt, glo, ghi, tmin))
         sh_cull = jnp.stack(wls, axis=1)  # (nt, L, ng)
+        if MEGA2_FORCE_DENSE:  # probe hook (see MEGA2_FORCE_DENSE)
+            sh_cull = jnp.ones_like(sh_cull)
 
     # ---- shadow + shade chain ----
     sh_ranges = ranges if (config.shadows and T) else [ranges[-1]]
