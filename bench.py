@@ -49,7 +49,9 @@ ORCH_PHASES = [
     ("forward", "bunny300k", "640x480", 2, 2),  # coarse2 worklists (299k tris)
     ("grad", "optional", "640x480", 8, 2),
     ("grad", "bunny50k", "640x480", 2, 2),  # streamed differentiable path
-    ("grad", "bunny300k", "640x480", 1, 2),  # streamed diff path, coarse2 band
+    # streamed diff path in the coarse2 band: the ~37-launch chained dprim
+    # alone compiles ~8 min on v5e — 6th field widens this phase's timeout
+    ("grad", "bunny300k", "640x480", 1, 2, 1500.0),
 ]
 
 
@@ -202,7 +204,10 @@ def orchestrate(args) -> int:
     """Run every phase in its own subprocess (own tunnel connection) under a
     timeout with one retry; aggregate into the single driver JSON line."""
     results = []
-    for kind, scene, size, frames, repeats in ORCH_PHASES:
+    for phase in ORCH_PHASES:
+        kind, scene, size, frames, repeats = phase[:5]
+        phase_timeout = max(args.phase_timeout,
+                            phase[5] if len(phase) > 5 else 0.0)
         cmd = [sys.executable, os.path.abspath(__file__),
                "--scene", scene, "--size", size, "--frames", str(frames),
                "--repeats", str(repeats), "--json"]
@@ -215,9 +220,9 @@ def orchestrate(args) -> int:
             t0 = time.perf_counter()
             try:
                 proc = subprocess.run(cmd, capture_output=True, text=True,
-                                      timeout=args.phase_timeout)
+                                      timeout=phase_timeout)
             except subprocess.TimeoutExpired:
-                print(f"phase {kind}:{scene} TIMEOUT after {args.phase_timeout:.0f}s "
+                print(f"phase {kind}:{scene} TIMEOUT after {phase_timeout:.0f}s "
                       f"(attempt {attempt + 1})", file=sys.stderr)
                 continue
             sys.stderr.write(proc.stderr)

@@ -245,18 +245,25 @@ def test_mega3_matches_mega2_on_optional():
         np.testing.assert_array_equal(a, b)
 
 
-def test_mega3_coarse_mode(monkeypatch):
+@pytest.fixture(scope="module")
+def optional_mega2_64x32():
+    """mega2 reference image for the mega3 mode tests, rendered ONCE (the
+    mode tests only patch mega3 routing knobs mega2 never reads)."""
+    return np.asarray(
+        pk.render_image_mega2_f32(_scene("optional"), RenderConfig(width=64, height=32)))
+
+
+def test_mega3_coarse_mode(monkeypatch, optional_mega2_64x32):
     """Coarse mode (one worklist entry per 64-tri super-group, folded whole)
     must produce the same closest hits/occlusion: min-folds are order-safe."""
     monkeypatch.setattr(pk, "MEGA3_FINE_MAX_G", 8)  # force coarse on optional
     scene = _scene("optional")
     cfg = RenderConfig(width=64, height=32)
-    a = np.asarray(pk.render_image_mega2_f32(scene, cfg))
     b = np.asarray(pk.render_image_mega3_f32(scene, cfg))
-    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(optional_mega2_64x32, b)
 
 
-def test_mega3_coarse2_mode(monkeypatch):
+def test_mega3_coarse2_mode(monkeypatch, optional_mega2_64x32):
     """Coarse2 (one worklist entry per 512-tri super-super-group, 8 sg DMAs
     expanded in-kernel) lifts the worklist-SMEM ceiling to ~1M triangles;
     same image as mega2."""
@@ -264,9 +271,8 @@ def test_mega3_coarse2_mode(monkeypatch):
     monkeypatch.setattr(pk, "MEGA3_WL_SMEM_ENTRIES", 1)
     scene = _scene("optional")
     cfg = RenderConfig(width=64, height=32)
-    a = np.asarray(pk.render_image_mega2_f32(scene, cfg))
     b = np.asarray(pk.render_image_mega3_f32(scene, cfg))
-    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(optional_mega2_64x32, b)
 
 
 def test_mega3_modes_and_no_lights(monkeypatch):
@@ -339,7 +345,12 @@ def test_mega3_mode_respects_worklist_smem_budget():
     8-light 3,840-group pass would allocate ~140 KB of worklist SMEM and
     fail only at real-TPU lowering — code-review round 4)."""
     assert pk.mega3_mode(448, 3) == "fine"
-    assert pk.mega3_mode(4096, 3) == "fine"  # round-3 behavior preserved
+    assert pk.mega3_mode(4096, 1) == "fine"  # single-light: full group cap
+    # round-5 (ADVICE r4): the budget binds PER worklist array — L*ng must
+    # fit MEGA3_WL_SMEM_ENTRIES on its own (a pooled 2x bound admitted
+    # L=3, ng=4096: a 48 KB g_wl block that only fails at real lowering)
+    assert pk.mega3_mode(2730, 3) == "fine"  # 3*2730 = 8190 <= 8192
+    assert pk.mega3_mode(4096, 3) == "coarse"  # 3*4096 > 8192: budget-bound
     assert pk.mega3_mode(3840, 8) == "coarse"  # budget-bound, not group-bound
     assert pk.mega3_mode(9352, 1) == "coarse"  # past FINE_MAX_G (measured)
     assert pk.mega3_mode(37376, 3) == "coarse2"

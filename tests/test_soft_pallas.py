@@ -281,8 +281,28 @@ def test_render_soft_kernels_tiled_image_close():
 # ---------------------------------------------------------------------------
 
 
+@pytest.fixture(scope="module")
+def chain_reference():
+    """stream=False outputs for every soft kernel family, computed ONCE:
+    the chain path never reads the MEGA3_* knobs the mode cases patch, so
+    the three streamed modes can all diff against this (interpret-mode
+    chain renders dominate the suite's runtime otherwise)."""
+    from raytpu.render import pallas_soft as ps
+
+    scene, cfg, p, dirs, mags = _shadow_inputs("bunny", 64, 32)
+    tmin, beta = float(cfg.ray_min), float(cfg.soft_beta)
+    a = np.asarray(ps.soft_trans_lights_pallas(scene, p, dirs, mags, tmin, beta, stream=False))
+    oa = np.asarray(ps.any_hit_lights_mega2(scene, p, dirs, mags, tmin, stream=False))
+    ta, ia = ps.scene_min_t_mega2(scene, p, dirs[0], tmin, stream=False)
+    g = jnp.full_like(jnp.asarray(a), 0.5)
+    ga = ps.soft_dray_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=False)
+    da = ps.soft_dprim_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=False)
+    return dict(scene=scene, cfg=cfg, p=p, dirs=dirs, mags=mags, tmin=tmin,
+                beta=beta, a=a, oa=oa, ta=ta, ia=ia, g=g, ga=ga, da=da)
+
+
 @pytest.mark.parametrize("mode", ["fine", "coarse", "coarse2"])
-def test_streamed_kernels_match_chain(monkeypatch, mode):
+def test_streamed_kernels_match_chain(monkeypatch, mode, chain_reference):
     from raytpu.render import pallas_kernel as pk
     from raytpu.render import pallas_soft as ps
 
@@ -290,35 +310,30 @@ def test_streamed_kernels_match_chain(monkeypatch, mode):
         monkeypatch.setattr(pk, "MEGA3_FINE_MAX_G", 8)
     if mode == "coarse2":
         monkeypatch.setattr(pk, "MEGA3_WL_SMEM_ENTRIES", 1)
-    scene, cfg, p, dirs, mags = _shadow_inputs("bunny", 64, 32)
-    tmin, beta = float(cfg.ray_min), float(cfg.soft_beta)
+    r = chain_reference
+    scene, p, dirs, mags = r["scene"], r["p"], r["dirs"], r["mags"]
+    tmin, beta, a, g = r["tmin"], r["beta"], r["a"], r["g"]
 
-    a = np.asarray(ps.soft_trans_lights_pallas(scene, p, dirs, mags, tmin, beta, stream=False))
     b = np.asarray(ps.soft_trans_lights_pallas(scene, p, dirs, mags, tmin, beta, stream=True))
     # coarse folds the sigmoid-tail triangles the fine cull clips (~2e-9
     # each) and reassociates the product
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
 
-    oa = np.asarray(ps.any_hit_lights_mega2(scene, p, dirs, mags, tmin, stream=False))
     ob = np.asarray(ps.any_hit_lights_mega2(scene, p, dirs, mags, tmin, stream=True))
-    np.testing.assert_array_equal(ob, oa)
+    np.testing.assert_array_equal(ob, r["oa"])
 
-    ta, ia = ps.scene_min_t_mega2(scene, p, dirs[0], tmin, stream=False)
     tb, ib = ps.scene_min_t_mega2(scene, p, dirs[0], tmin, stream=True)
-    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ia))
-    fin = np.isfinite(np.asarray(ta))
-    np.testing.assert_allclose(np.asarray(tb)[fin], np.asarray(ta)[fin], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(r["ia"]))
+    fin = np.isfinite(np.asarray(r["ta"]))
+    np.testing.assert_allclose(np.asarray(tb)[fin], np.asarray(r["ta"])[fin], rtol=1e-6)
 
-    g = jnp.full_like(jnp.asarray(a), 0.5)
-    ga = ps.soft_dray_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=False)
     gb = ps.soft_dray_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=True)
-    for x, y in zip(ga, gb):
+    for x, y in zip(r["ga"], gb):
         sc = max(np.abs(np.asarray(x)).max(), 1e-6)
         np.testing.assert_allclose(np.asarray(y) / sc, np.asarray(x) / sc, atol=1e-5)
 
-    da = ps.soft_dprim_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=False)
     db = ps.soft_dprim_pallas(scene, p, dirs, mags, g, jnp.asarray(a), tmin, beta, stream=True)
-    for x, y in zip(da, db):
+    for x, y in zip(r["da"], db):
         sc = max(np.abs(np.asarray(x)).max(), 1e-6)
         np.testing.assert_allclose(np.asarray(y) / sc, np.asarray(x) / sc, atol=1e-5)
 

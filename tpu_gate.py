@@ -39,10 +39,17 @@ GATE_ENTRIES = [
     "soft_fwd_bwd",        # + custom-VJP backward kernels (dray, dprim) via value_and_grad
     "soft_stream_fine",    # DMA-streamed soft fwd+bwd, per-group worklists (18.7k tris)
     "soft_stream_coarse",  # DMA-streamed soft fwd+bwd, super-group worklists (74.7k tris)
+    "soft_stream_coarse2",  # coarse2 soft kernels + chained dprim (299k tris; ~8 min compile)
     "sharded_1x1",         # shard_map winner-search/merge composition, 1x1 mesh
     "sharded_px_fused_mega",   # px-only fused whole-frame megakernel per chip
     "sharded_px_fused_mega2",  # px-only fused mega2 chain per chip (tile-range)
 ]
+
+#: per-entry minimum subprocess timeout (seconds) — overrides a smaller
+#: --timeout; the coarse2 diff chain alone compiles ~8 min on v5e
+ENTRY_MIN_TIMEOUT = {
+    "soft_stream_coarse2": 1200.0,
+}
 
 
 def _build(entry: str):
@@ -127,15 +134,19 @@ def _build(entry: str):
 
         return fwd_bwd, (params, scene)
 
-    if entry in ("soft_stream_fine", "soft_stream_coarse"):
+    if entry in ("soft_stream_fine", "soft_stream_coarse", "soft_stream_coarse2"):
         # the round-4 DMA-streamed differentiable path: soft fwd + mint +
         # dray + dprim past the 9,600-tri SMEM chain (fine: per-group
-        # worklists at 18.7k tris; coarse: super-group worklists at 74.7k)
+        # worklists at 18.7k tris; coarse: super-group worklists at 74.7k;
+        # coarse2: super-super-group worklists + ~37-launch chained dprim
+        # at 299k tris — give this one --timeout >= 900, compile is ~8 min)
         from raytpu.core.scenes import scene_bunny_subdiv
         from raytpu.grad import diff_render
 
-        scene = scene_bunny_subdiv(3) if entry == "soft_stream_fine" \
-            else scenes.get("bunny50k").build()
+        scene = {"soft_stream_fine": lambda: scene_bunny_subdiv(3),
+                 "soft_stream_coarse": lambda: scenes.get("bunny50k").build(),
+                 "soft_stream_coarse2": lambda: scenes.get("bunny300k").build(),
+                 }[entry]()
         cfg = RenderConfig(width=64, height=32)
         target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
@@ -246,6 +257,7 @@ def main(argv=None) -> int:
 
     for entry in entries:
         rec = None
+        entry_timeout = max(args.timeout, ENTRY_MIN_TIMEOUT.get(entry, 0.0))
         for attempt in range(args.retries + 1):
             cmd = [sys.executable, os.path.abspath(__file__), "--one", entry]
             if args.platform:
@@ -253,12 +265,12 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
             try:
                 proc = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=args.timeout
+                    cmd, capture_output=True, text=True, timeout=entry_timeout
                 )
             except subprocess.TimeoutExpired:
                 rec = {"kernel": entry, "status": "timeout",
                        "compile_s": round(time.perf_counter() - t0, 2), "exec_s": None}
-                print(f"{entry}: TIMEOUT after {args.timeout:.0f}s "
+                print(f"{entry}: TIMEOUT after {entry_timeout:.0f}s "
                       f"(attempt {attempt + 1})", file=sys.stderr)
                 continue  # retry: tunnel stalls are routine
             for line in proc.stdout.splitlines():
