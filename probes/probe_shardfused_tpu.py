@@ -12,10 +12,15 @@ from raytpu.core import scenes
 from raytpu.core.types import RenderConfig
 from raytpu.parallel.sharding import make_mesh, _render_sharded_jit
 
-scene = scenes.get("reference").build()
+import argparse
+ap = argparse.ArgumentParser()
+ap.add_argument("--scene", default="reference")
+ap.add_argument("--frames", type=int, default=16)
+a = ap.parse_args()
+scene = scenes.get(a.scene).build()
 cfg = RenderConfig(width=640, height=480)
 mesh = make_mesh(px=1, prim=1, devices=jax.devices()[:1])
-FRAMES = 16
+FRAMES = a.frames
 
 @functools.partial(jax.jit, static_argnames=("fused", "n"))
 def scan_render(s, fused, n):

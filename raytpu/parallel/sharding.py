@@ -220,17 +220,25 @@ def _fused_kind(scene: Scene, config: RenderConfig):
             and scene.planes.count <= pk.MEGA2_MAX_UNROLL
             and scene.lights.count <= pk.MEGA2_MAX_LIGHTS):
         return "mega2"
+    # the mega3 band deliberately stays on the winner-search pipeline: a
+    # same-window A/B at bunny50k measured fused mega3 per chip SLOWER
+    # (71.9 vs 65.9 ms — big meshes are fold-bound, so the merge machinery
+    # is noise while the winner-search path's per-ray shadow culling is
+    # tighter than mega3's camera/tile-AABB culling).  The tile-range
+    # mega3 variant exists and is TPU-gated (sharded_px_fused_mega3) for
+    # when that trade changes; flip here to re-route.
     return None
 
 
 def _render_fused_px(scene: Scene, config: RenderConfig, mesh: Mesh, kind: str):
     """px-only sharded render through the fused whole-frame kernels: each
-    chip runs the flagship single-chip megakernel/mega2 pipeline on its
-    contiguous 1024-ray tile range (raygen in-kernel via a tile offset) —
-    no winner-search/merge machinery, no cross-chip traffic until the image
-    gather.  Cuts the sharded single-chip tax from ~13x to ~1x (VERDICT r4
-    weak #2); bit-identical to the whole-frame kernels because tiles are
-    computed independently either way."""
+    chip runs the flagship single-chip megakernel/mega2/mega3 pipeline on
+    its contiguous 1024-ray tile range (raygen in-kernel via a tile
+    offset) — no winner-search/merge machinery, no cross-chip traffic
+    until the image gather.  Eliminates the sharded single-chip tax
+    (measured: per-chip == whole-frame megakernel, probe_fusedgap.py);
+    bit-identical to the whole-frame kernels because tiles are computed
+    independently either way."""
     from raytpu.render import pallas_kernel as pk
 
     H, W = config.height, config.width
@@ -239,8 +247,9 @@ def _render_fused_px(scene: Scene, config: RenderConfig, mesh: Mesh, kind: str):
     n_px = mesh.shape["px"]
     tpc = -(-nt // n_px)  # tiles per chip (last chips may render garbage pads)
     spec_rep = jax.tree_util.tree_map(lambda _: P(), scene)
-    fn = (pk.render_image_mega_f32 if kind == "mega"
-          else pk.render_image_mega2_f32)
+    fn = {"mega": pk.render_image_mega_f32,
+          "mega2": pk.render_image_mega2_f32,
+          "mega3": pk.render_image_mega3_f32}[kind]
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec_rep,), out_specs=P("px", None),
@@ -251,7 +260,7 @@ def _render_fused_px(scene: Scene, config: RenderConfig, mesh: Mesh, kind: str):
         return fn(scene_l, config, tile0=tile0, tiles=tpc)
 
     flat = kern(scene)[:R]  # (n_px*tpc*1024, 3) feed order -> drop pads
-    if kind == "mega2" and H % 32 == 0 and W % 32 == 0:
+    if kind in ("mega2", "mega3") and H % 32 == 0 and W % 32 == 0:
         flat = pk._mega2_unfold_rows(flat, H, W)  # tiled feed -> row-major
     return flat.reshape(H, W, 3)
 

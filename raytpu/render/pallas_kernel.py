@@ -2086,9 +2086,15 @@ def _make_mega3_shadow_kernel(config, S, P, L, W, H, tiled, mode, stream):
     return kernel
 
 
-def render_image_mega3_f32(scene: Scene, config: RenderConfig):
+def render_image_mega3_f32(scene: Scene, config: RenderConfig,
+                           tile0=None, tiles: int | None = None):
     """Whole-frame mega3 render -> (H, W, 3) f32: ONE closest-hit launch +
-    ONE shadow/shade launch for any triangle count up to MEGA3_MAX_TRIS."""
+    ONE shadow/shade launch for any triangle count up to MEGA3_MAX_TRIS.
+
+    With ``tile0``/``tiles`` set, renders only the 1024-ray tiles
+    [tile0, tile0+tiles) and returns (tiles*1024, 3) colors in feed order —
+    the per-chip body of the px-sharded fused path (same contract as the
+    mega/mega2 tile-range variants)."""
     from raytpu.ops import accel, shading as _shading
 
     W, H = config.width, config.height
@@ -2096,11 +2102,15 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     L = scene.lights.count
     tmin = float(config.ray_min)
     tiled = (W % 32 == 0) and (H % 32 == 0)
-    nt = _cdiv(R, 1024)
+    whole = tiles is None
+    nt_frame = _cdiv(R, 1024)
+    nt = nt_frame if whole else tiles
     rows_pad = nt * 8
     interpret = _interpret or jax.default_backend() == "cpu"
 
     cam, sph, pln, tri_blob, li = _mega_pack(scene, config)
+    if not whole:
+        cam = cam.at[0, 14].set(jnp.asarray(tile0, jnp.float32))
     S, P, T = sph.shape[0], pln.shape[0], tri_blob.shape[0]
     if T == 0:  # degenerate all-zero group: every worklist count is 0
         tri_blob = jnp.zeros((1, 20), jnp.float32)
@@ -2142,7 +2152,12 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
 
     # ---- XLA: primary-ray worklists (O(tiles): analytic camera bounds) ----
     rb = accel.camera_tile_bounds(scene.camera, W, H, tiled, tile=1024)
-    cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt, ng)
+    cullm = accel.cull_matrix(rb, glo, ghi, tmin)  # (nt_frame, ng)
+    if not whole:
+        # this chip's tile rows (same slicing semantics as mega2's tile-range
+        # variant: padded rows past the frame cull everything)
+        cullm = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(cullm, ((0, nt), (0, 0))), tile0, nt, 0)
     sg_wl, g_wl, cnts = mega3_worklists(cullm, mode_c)
 
     # ---- closest-hit launch ----
@@ -2167,8 +2182,9 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
 
     t_acc, nx_a, ny_a, nz_a = accs[0], accs[1], accs[2], accs[3]
 
-    if L == 0:
-        return jnp.zeros((H, W, 3), jnp.float32)  # no lights -> black (W1)
+    if L == 0:  # no lights -> black (W1)
+        return (jnp.zeros((H, W, 3), jnp.float32) if whole
+                else jnp.zeros((nt * 1024, 3), jnp.float32))
 
     # ---- XLA: per-light shadow worklists from the kernel-emitted tile
     # AABBs of offset hit points (O(tiles)) ----
@@ -2214,7 +2230,10 @@ def render_image_mega3_f32(scene: Scene, config: RenderConfig):
     )(cam, sph_in, pln_in, li_in, sh_sg, sh_g, sh_c, blob,
       t_acc, nx_a, ny_a, nz_a, *accs[4:])
 
-    return _mega2_unfold_colors(colors, H, W, tiled, R)
+    if whole:
+        return _mega2_unfold_colors(colors, H, W, tiled, R)
+    # feed-order rows for this chip's tiles (sharded caller un-permutes)
+    return jnp.moveaxis(colors.reshape(3, rows_pad * 128), 0, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,24 @@ def test_sharded_render_bit_identical(scene, single_device_image, px, prim):
         np.testing.assert_array_equal(img, single_device_image)
 
 
+def test_fused_px_mega3_bit_identical():
+    """The fused mega3 (DMA-streamed) tile-range pipeline — kept off the
+    default routing (winner-search measured faster in its band, see
+    _fused_kind) but TPU-gated and tested: per-chip tile ranges must be
+    bit-identical to the whole-frame mega3 render."""
+    from raytpu.render import pallas_kernel as pk
+    from raytpu.parallel.sharding import _render_fused_px
+    import raytpu.core.math3d as m3
+
+    bunny = scenes.get("bunny").build()
+    cfg = RenderConfig(width=64, height=32)
+    ref = np.asarray(m3.quantize_u8(pk.render_image_mega3_f32(bunny, cfg)))
+    img = np.asarray(m3.quantize_u8(jax.jit(
+        lambda s: _render_fused_px(s, cfg, make_mesh(px=8, prim=1), "mega3")
+    )(bunny)))
+    np.testing.assert_array_equal(img, ref)
+
+
 @pytest.mark.parametrize("size", [(64, 32), (64, 48)])
 def test_fused_px_mega2_bit_identical(size):
     """px-only sharding on a mesh scene routes the fused mega2 chain per

@@ -43,6 +43,7 @@ GATE_ENTRIES = [
     "sharded_1x1",         # shard_map winner-search/merge composition, 1x1 mesh
     "sharded_px_fused_mega",   # px-only fused whole-frame megakernel per chip
     "sharded_px_fused_mega2",  # px-only fused mega2 chain per chip (tile-range)
+    "sharded_px_fused_mega3",  # px-only fused DMA-streamed mega3 per chip (50k tris)
 ]
 
 #: per-entry minimum subprocess timeout (seconds) — overrides a smaller
@@ -178,13 +179,22 @@ def _build(entry: str):
         return functools.partial(render_image_sharded, config=cfg, mesh=mesh,
                                  fused=False), (scene,)
 
-    if entry in ("sharded_px_fused_mega", "sharded_px_fused_mega2"):
+    if entry in ("sharded_px_fused_mega", "sharded_px_fused_mega2",
+                 "sharded_px_fused_mega3"):
         from raytpu.parallel import make_mesh, render_image_sharded
+        from raytpu.parallel.sharding import _render_fused_px
 
-        name = "reference" if entry.endswith("mega") else "bunny"
+        name = {"sharded_px_fused_mega": "reference",
+                "sharded_px_fused_mega2": "bunny",
+                "sharded_px_fused_mega3": "bunny50k"}[entry]
         scene = scenes.get(name).build()
         cfg = RenderConfig(width=64, height=32)
         mesh = make_mesh(px=1, prim=1, devices=jax.devices()[:1])
+        if entry == "sharded_px_fused_mega3":
+            # off the default routing (winner-search measured faster in its
+            # band) but kept lowering-gated — call the fused body directly
+            return functools.partial(_render_fused_px, config=cfg, mesh=mesh,
+                                     kind="mega3"), (scene,)
         return functools.partial(render_image_sharded, config=cfg, mesh=mesh), (scene,)
 
     raise SystemExit(f"unknown gate entry {entry!r}")
