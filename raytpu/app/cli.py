@@ -191,21 +191,30 @@ def main(argv=None) -> int:
 
     n_frames = max(args.frames, 1)
     frame = 0
-    dt_est = warm_s  # per-frame wall estimate for in-dispatch animation times
+    # per-frame wall estimate for in-dispatch animation times; clamped like
+    # the reference's elapsed upper bound (source/Timer.cpp:83-89) so the
+    # compile-inclusive warm-up can't fling the first dispatch's animation
+    # times tens of seconds apart
+    dt_est = min(warm_s, 0.5)
     done = False
     while not done:
         t = args.time + timer.total
+        # frames this dispatch actually advances (the scan still runs K
+        # frames; a tail dispatch repeats the last requested time so the
+        # final frame/screenshot matches the K=1 loop's last frame)
+        j = K if bench else min(K, n_frames - frame)
         ft0 = time.perf_counter()
         if K > 1:
             import jax.numpy as jnp
 
-            ts = np.float32(t) + np.float32(dt_est) * np.arange(K, dtype=np.float32)
+            ts = np.float32(t) + np.float32(dt_est) * np.minimum(
+                np.arange(K, dtype=np.float32), np.float32(j - 1))
             img = np.asarray(scan_render(scene, jnp.asarray(ts)))
         else:
             img = np.asarray(render_fn(spec.animate(scene, t), config))
         ft1 = time.perf_counter()
         dt_est = (ft1 - ft0) / K
-        for _ in range(K):
+        for _ in range(j):
             timer.tick()
             stats.add_frame(w, h, int(scene.lights.count), dt_est, config.shadows)
             frame += 1

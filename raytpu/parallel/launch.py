@@ -5,8 +5,10 @@ a single process (reference: source/Renderer.cpp:42-85).  This module is the
 cross-process analog that actually executes: every worker process calls
 ``multihost.initialize`` (jax.distributed / Gloo on CPU, ICI+DCN on a pod),
 builds the global ``pod_mesh``, renders a pixel+primitive-sharded frame and
-runs one psum'd sharded train step — with cross-process collectives carrying
-the winner-merge all-gather and the gradient all-reduce.
+runs one psum'd sharded train step.  Two mesh layouts execute: the default
+pod layout (px across processes — the gradient psum and image gather cross
+processes) and a transposed layout whose prim axis spans the processes, so
+the closest-hit winner-merge all-gather crosses the process boundary too.
 
 Two entry modes:
 
@@ -97,7 +99,7 @@ def run_worker(process_id: int, num_processes: int, coordinator: str, outdir: st
     scene_local = scenes.get("reference").build()
     cfg = RenderConfig(width=size[0], height=size[1])
 
-    # ---- sharded render across processes --------------------------------
+    # ---- sharded render across processes (px spans processes) -----------
     scene_g = _globalize(scene_local, mesh)
     t0 = time.perf_counter()
     img_g = render_image_sharded(scene_g, cfg, mesh, backend="jnp")
@@ -107,6 +109,18 @@ def run_worker(process_id: int, num_processes: int, coordinator: str, outdir: st
     # single-process reference (local devices only) for bit-identity
     ref = np.asarray(render_image(scene_local, cfg))
     render_identical = bool((img == ref).all())
+
+    # ---- prim-SPANNING-processes mesh: the closest-hit winner-merge
+    # all_gather itself crosses the process boundary (pod_mesh's default
+    # layout keeps prim within-host, so exercise the transposed layout too)
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()).reshape(num_processes, local_devices)
+    mesh_x = Mesh(devs.T.copy(), axis_names=("px", "prim"))
+    img_x = _fetch_replicated(
+        render_image_sharded(_globalize(scene_local, mesh_x), cfg, mesh_x,
+                             backend="jnp"), mesh_x)
+    render_xprim_identical = bool((img_x == ref).all())
 
     # ---- one psum'd sharded train step across processes -----------------
     tcfg = RenderConfig(width=train_size[0], height=train_size[1])
@@ -138,6 +152,7 @@ def run_worker(process_id: int, num_processes: int, coordinator: str, outdir: st
         "global_devices": n_global,
         "mesh": dict(mesh.shape),
         "render_identical_to_single_process": render_identical,
+        "render_xprim_identical_to_single_process": render_xprim_identical,
         "loss_sharded": loss,
         "loss_single": float(loss1),
         "render_wall_s": round(render_s, 3),
@@ -172,28 +187,41 @@ def spawn(num_processes: int, outdir: str, port: int = 0, timeout: float = 600.0
     coord = f"127.0.0.1:{port}"
     os.makedirs(outdir, exist_ok=True)
     procs = []
+    logs = []
     for pid in range(num_processes):
         cmd = [sys.executable, "-m", "raytpu.parallel.launch",
                "--process-id", str(pid), "--num-processes", str(num_processes),
                "--coordinator", coord, "--outdir", outdir,
                "--local-devices", str(local_devices)]
-        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                      stderr=subprocess.STDOUT, text=True))
+        # log to a file, not a pipe: a chatty worker must never block on a
+        # full pipe buffer while its siblings wait in a collective
+        log_path = os.path.join(outdir, f"worker_p{pid}.log")
+        logs.append(log_path)
+        with open(log_path, "w") as log_f:
+            procs.append(subprocess.Popen(cmd, stdout=log_f,
+                                          stderr=subprocess.STDOUT, text=True))
+    # poll ALL workers: a worker crashing at startup must surface its own
+    # traceback immediately, not read as a timeout of a sibling stuck in the
+    # coordination barrier waiting for it
     deadline = time.time() + timeout
-    outputs = []
-    for pid, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=max(1.0, deadline - time.time()))
-        except subprocess.TimeoutExpired:
+    while True:
+        done = [p.poll() for p in procs]
+        for pid, rc in enumerate(done):
+            if rc is not None and rc != 0:
+                for q in procs:
+                    q.kill()
+                with open(logs[pid]) as f:
+                    tail = "\n".join(f.read().strip().splitlines()[-15:])
+                raise RuntimeError(f"worker {pid} failed (rc={rc}):\n{tail}")
+        if all(rc == 0 for rc in done):
+            break
+        if time.time() > deadline:
             for q in procs:
                 q.kill()
-            raise RuntimeError(f"worker {pid} timed out after {timeout}s")
-        outputs.append(out)
-        if p.returncode != 0:
-            for q in procs:
-                q.kill()
-            tail = "\n".join(out.strip().splitlines()[-15:])
-            raise RuntimeError(f"worker {pid} failed (rc={p.returncode}):\n{tail}")
+            stuck = [i for i, rc in enumerate(done) if rc is None]
+            raise RuntimeError(f"workers {stuck} timed out after {timeout}s "
+                               f"(logs: {logs})")
+        time.sleep(0.2)
     results = []
     for pid in range(num_processes):
         with open(os.path.join(outdir, f"result_p{pid}.json")) as f:
@@ -217,7 +245,9 @@ def main(argv=None) -> int:
         results = spawn(args.spawn, args.outdir or "/tmp/raytpu_2proc",
                         timeout=args.timeout, local_devices=args.local_devices)
         print(json.dumps(results, indent=1))
-        ok = all(r["render_identical_to_single_process"] and r["loss_match"]
+        ok = all(r["render_identical_to_single_process"]
+                 and r["render_xprim_identical_to_single_process"]
+                 and r["loss_match"]
                  and r["params_match_single_process"] for r in results)
         return 0 if ok else 1
 

@@ -206,28 +206,19 @@ def _shade_rays_sharded(scene: Scene, ro, rd, config: RenderConfig, tri_prio_off
 
 def _fused_kind(scene: Scene, config: RenderConfig):
     """Which fused whole-frame kernel family serves this scene on a px-only
-    mesh (None if out of budget) — same routing rules as the single-chip
-    render_image_f32."""
+    mesh (None if out of budget) — delegates to the single-chip router
+    (pallas_kernel.route_kind) so the two can never silently diverge."""
     from raytpu.render import pallas_kernel as pk
 
-    if config.soft_shadows:
-        return None
-    if (scene.num_primitives <= pk.MEGA_MAX_PRIMS
-            and scene.lights.count <= pk.MEGA_MAX_LIGHTS):
-        return "mega"
-    if (scene.triangles.count <= pk.MEGA2_MAX_LAUNCHES * pk.MEGA2_MAX_SMEM_TRIS
-            and scene.spheres.count <= pk.MEGA2_MAX_UNROLL
-            and scene.planes.count <= pk.MEGA2_MAX_UNROLL
-            and scene.lights.count <= pk.MEGA2_MAX_LIGHTS):
-        return "mega2"
+    kind = pk.route_kind(scene, config)
     # the mega3 band deliberately stays on the winner-search pipeline: a
     # same-window A/B at bunny50k measured fused mega3 per chip SLOWER
     # (71.9 vs 65.9 ms — big meshes are fold-bound, so the merge machinery
     # is noise while the winner-search path's per-ray shadow culling is
     # tighter than mega3's camera/tile-AABB culling).  The tile-range
     # mega3 variant exists and is TPU-gated (sharded_px_fused_mega3) for
-    # when that trade changes; flip here to re-route.
-    return None
+    # when that trade changes; add "mega3" here to re-route.
+    return kind if kind in ("mega", "mega2") else None
 
 
 def _render_fused_px(scene: Scene, config: RenderConfig, mesh: Mesh, kind: str):

@@ -1742,10 +1742,10 @@ def mega3_mode(ng: int, n_lights: int) -> str:
     L = max(n_lights, 1)
     # budget enforced PER worklist array (ADVICE r4): fine mode allocates a
     # (1, L, ng) g_wl block AND a (1, L, nsg) sg_wl block — a pooled 2x bound
-    # admitted L=3, ng=4096 (48 KB g_wl) which only fails at real-TPU lowering
-    if (ng <= MEGA3_FINE_MAX_G
-            and L * ng <= MEGA3_WL_SMEM_ENTRIES
-            and L * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES):
+    # admitted L=3, ng=4096 (48 KB g_wl) which only fails at real-TPU
+    # lowering.  g_wl (L*ng entries) is the binding array; sg_wl is 8x
+    # smaller, so its own bound is implied.
+    if ng <= MEGA3_FINE_MAX_G and L * ng <= MEGA3_WL_SMEM_ENTRIES:
         return "fine"
     if L * (ng // 8) <= MEGA3_WL_SMEM_ENTRIES:
         return "coarse"
@@ -2282,32 +2282,47 @@ def _tile_unfold(x, h, w, th: int = 16, tw: int = 32):
 MAX_VMEM_TRIS = 32768
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def render_image_f32(scene: Scene, config: RenderConfig):
-    nprims = scene.num_primitives
-    if nprims <= MEGA_MAX_PRIMS and scene.lights.count <= MEGA_MAX_LIGHTS and not config.soft_shadows:
-        return render_image_mega_f32(scene, config)
-    if (
-        scene.triangles.count <= MEGA2_MAX_LAUNCHES * MEGA2_MAX_SMEM_TRIS
-        and scene.spheres.count <= MEGA2_MAX_UNROLL
-        and scene.planes.count <= MEGA2_MAX_UNROLL
-        and scene.lights.count <= MEGA2_MAX_LIGHTS
-        and not config.soft_shadows
-    ):
-        return render_image_mega2_f32(scene, config)
-    if (
-        scene.triangles.count <= MEGA3_MAX_TRIS
-        and scene.spheres.count <= MEGA2_MAX_UNROLL
-        and scene.planes.count <= MEGA2_MAX_UNROLL
-        and scene.lights.count <= MEGA2_MAX_LIGHTS
-        # coarse2 worklist SMEM: per-light super-super-group entries
-        and scene.lights.count * _cdiv(scene.triangles.count, 512) <= MEGA3_WL_SMEM_ENTRIES
-        and not config.soft_shadows
-    ):
+def route_kind(scene: Scene, config: RenderConfig) -> str:
+    """THE routing decision for the fused kernel families — shared by the
+    single-chip ``render_image_f32`` and the px-only sharded router
+    (raytpu/parallel/sharding.py:_fused_kind), so a budget change can never
+    make them silently diverge.  Returns one of
+    "mega" | "mega2" | "mega3" | "jnp" | "chunked"."""
+    if config.soft_shadows:
+        return "jnp"
+    if (scene.num_primitives <= MEGA_MAX_PRIMS
+            and scene.lights.count <= MEGA_MAX_LIGHTS):
+        return "mega"
+    if (scene.triangles.count <= MEGA2_MAX_LAUNCHES * MEGA2_MAX_SMEM_TRIS
+            and scene.spheres.count <= MEGA2_MAX_UNROLL
+            and scene.planes.count <= MEGA2_MAX_UNROLL
+            and scene.lights.count <= MEGA2_MAX_LIGHTS):
+        return "mega2"
+    if (scene.triangles.count <= MEGA3_MAX_TRIS
+            and scene.spheres.count <= MEGA2_MAX_UNROLL
+            and scene.planes.count <= MEGA2_MAX_UNROLL
+            and scene.lights.count <= MEGA2_MAX_LIGHTS
+            # coarse2 worklist SMEM: per-light super-super-group entries
+            and scene.lights.count * _cdiv(scene.triangles.count, 512)
+            <= MEGA3_WL_SMEM_ENTRIES):
         # DMA-streamed single-launch kernels: measured ~3x over the (RT, CT)
         # chunked fallback this band used in round 2 (probes/probe_mega3.py)
+        return "mega3"
+    if scene.triangles.count > MAX_VMEM_TRIS:
+        return "jnp"
+    return "chunked"
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_image_f32(scene: Scene, config: RenderConfig):
+    kind = route_kind(scene, config)
+    if kind == "mega":
+        return render_image_mega_f32(scene, config)
+    if kind == "mega2":
+        return render_image_mega2_f32(scene, config)
+    if kind == "mega3":
         return render_image_mega3_f32(scene, config)
-    if scene.triangles.count > MAX_VMEM_TRIS or config.soft_shadows:
+    if kind == "jnp":
         return _renderer.render_image_f32(scene, config)
     W, H = config.width, config.height
     ro, rd = _renderer.generate_rays(scene.camera, config)

@@ -168,3 +168,17 @@ def test_cli_frames_per_dispatch(tmp_path):
     assert "compile scan dispatch (K=3)" in proc.stdout
     assert "frames=6 " in proc.stdout
     assert shot.exists()
+
+
+def test_cli_frames_per_dispatch_tail(tmp_path):
+    """--frames not a multiple of K: the tail dispatch repeats the last
+    requested frame's time, so the screenshot is frame n_frames (not a
+    frame past it) and exactly --frames frames are counted."""
+    shot = tmp_path / "shot.png"
+    proc = _run_cli(
+        ["--scene", "w2", "--size", "64x48", "--frames", "5",
+         "--frames-per-dispatch", "3", "--screenshot", str(shot)]
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "frames=5 " in proc.stdout
+    assert shot.exists()

@@ -1,9 +1,11 @@
 """REAL multi-process distributed execution (VERDICT r4 missing #1).
 
 Spawns 2 OS processes, each with 2 CPU devices, wired by
-``jax.distributed.initialize`` (Gloo collectives).  The (px=2, prim=2) pod
-mesh spans both processes: the closest-hit winner-merge all-gather and the
-training gradient psum genuinely cross the process boundary — no mocks, no
+``jax.distributed.initialize`` (Gloo collectives).  Two mesh layouts run:
+the default (px=2, prim=2) pod mesh (px across processes — the training
+gradient psum and image gather cross the process boundary) and a
+transposed mesh whose PRIM axis spans the processes, so the closest-hit
+winner-merge all-gather itself crosses processes too.  No mocks, no
 virtual single-process mesh.
 
 Asserts the cross-process sharded render is bit-identical to a
@@ -28,6 +30,8 @@ def test_two_process_distributed_render_and_train(tmp_path):
         assert r["mesh"] == {"px": 2, "prim": 2}
         # cross-process sharded render == single-process render, bit for bit
         assert r["render_identical_to_single_process"]
+        # and with the prim axis spanning processes (winner-merge crosses)
+        assert r["render_xprim_identical_to_single_process"]
         # cross-process psum'd gradient step == single-device step
         assert r["loss_match"]
         assert r["params_match_single_process"]
