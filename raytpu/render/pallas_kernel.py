@@ -2287,7 +2287,7 @@ def route_kind(scene: Scene, config: RenderConfig) -> str:
     single-chip ``render_image_f32`` and the px-only sharded router
     (raytpu/parallel/sharding.py:_fused_kind), so a budget change can never
     make them silently diverge.  Returns one of
-    "mega" | "mega2" | "mega3" | "jnp" | "chunked"."""
+    "mega" | "mega2" | "packed" | "jnp" | "chunked"."""
     if config.soft_shadows:
         return "jnp"
     if (scene.num_primitives <= MEGA_MAX_PRIMS
@@ -2302,15 +2302,49 @@ def route_kind(scene: Scene, config: RenderConfig) -> str:
             and scene.spheres.count <= MEGA2_MAX_UNROLL
             and scene.planes.count <= MEGA2_MAX_UNROLL
             and scene.lights.count <= MEGA2_MAX_LIGHTS
-            # coarse2 worklist SMEM: per-light super-super-group entries
+            # streamed worklist SMEM: per-light super-super-group entries
             and scene.lights.count * _cdiv(scene.triangles.count, 512)
             <= MEGA3_WL_SMEM_ENTRIES):
-        # DMA-streamed single-launch kernels: measured ~3x over the (RT, CT)
-        # chunked fallback this band used in round 2 (probes/probe_mega3.py)
-        return "mega3"
+        # round 5: the PACKED pipeline (payload-emitting streamed winner
+        # search + streamed all-lights any-hit + XLA shade) measured 16%
+        # faster than the whole-frame mega3 kernels in this band (bunny50k
+        # 60.2 vs 71.8/71.6 ms same-window with a control re-run,
+        # probes/probe_packed_vs_mega3.py) — per-ray shadow bounds cull
+        # tighter than mega3's tile-AABB worklists, and the XLA shade tail
+        # is bit-identical to the jnp path instead of flip-budgeted
+        return "packed"
     if scene.triangles.count > MAX_VMEM_TRIS:
         return "jnp"
     return "chunked"
+
+
+def render_image_packed_f32(scene: Scene, config: RenderConfig):
+    """Packed pipeline for the big-mesh band (9.6k..1M triangles): the
+    payload-emitting mega2/streamed winner search + the streamed all-lights
+    any-hit kernel + the XLA shade tail — the same composition the sharded
+    renderer runs per chip, without the merge.  Output is bit-identical to
+    the jnp path (chunked-kernel invariant; the whole-frame mega3 kernels
+    carry a tiny flip budget instead)."""
+    from raytpu.render import pallas_soft as ps
+
+    W, H = config.width, config.height
+    ro, rd = _renderer.generate_rays(scene.camera, config)
+    tiled = (W % 32 == 0) and (H % 32 == 0)
+    if tiled:
+        rd = _mega2_fold(rd, H, W)  # tile-order feed: tight per-tile cones
+    ro_b = jnp.broadcast_to(ro, rd.shape)
+    t, idx, normal, mat = ps.scene_min_t_mega2(
+        scene, ro_b, rd, float(config.ray_min), payload=True)
+    rec = ps.hit_records_from_payload(ro_b, rd, t, normal, mat)
+
+    def any_multi(s, p, dirs, mags, tmin):
+        return ps.any_hit_lights_mega2(s, p, dirs, mags, float(tmin))
+
+    colors = _renderer.shade_from_records(scene, rec, rd, config,
+                                          any_multi_fn=any_multi)
+    if tiled:
+        colors = _mega2_unfold_rows(colors, H, W)
+    return colors.reshape(H, W, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -2320,8 +2354,8 @@ def render_image_f32(scene: Scene, config: RenderConfig):
         return render_image_mega_f32(scene, config)
     if kind == "mega2":
         return render_image_mega2_f32(scene, config)
-    if kind == "mega3":
-        return render_image_mega3_f32(scene, config)
+    if kind == "packed":
+        return render_image_packed_f32(scene, config)
     if kind == "jnp":
         return _renderer.render_image_f32(scene, config)
     W, H = config.width, config.height

@@ -354,3 +354,22 @@ def test_mega3_mode_respects_worklist_smem_budget():
     assert pk.mega3_mode(3840, 8) == "coarse"  # budget-bound, not group-bound
     assert pk.mega3_mode(9352, 1) == "coarse"  # past FINE_MAX_G (measured)
     assert pk.mega3_mode(37376, 3) == "coarse2"
+
+
+def test_packed_pipeline_band_bit_identical_to_jnp(monkeypatch):
+    """The big-mesh band (round 5) routes the PACKED pipeline — payload
+    winner search + streamed any-hit + XLA shade — whose output is
+    bit-identical to the jnp path (unlike mega3's in-kernel shade, which
+    carries the megakernel flip budget).  Band forced by shrinking the
+    mega2 chain budget so bunny exercises it; both raygen feeds covered."""
+    from raytpu.core.types import RenderConfig as RC
+    import raytpu.core.math3d as m3
+    from raytpu.render import renderer as rn
+
+    monkeypatch.setattr(pk, "MEGA2_MAX_LAUNCHES", 0)
+    scene = _scene("bunny")
+    for cfg in [RC(width=64, height=32), RC(width=48, height=24)]:
+        assert pk.route_kind(scene, cfg) == "packed"
+        a = np.asarray(m3.quantize_u8(rn.render_image_f32(scene, cfg)))
+        b = np.asarray(m3.quantize_u8(pk.render_image_f32(scene, cfg)))
+        np.testing.assert_array_equal(a, b)

@@ -44,6 +44,8 @@ GATE_ENTRIES = [
     "sharded_px_fused_mega",   # px-only fused whole-frame megakernel per chip
     "sharded_px_fused_mega2",  # px-only fused mega2 chain per chip (tile-range)
     "sharded_px_fused_mega3",  # px-only fused DMA-streamed mega3 per chip (50k tris)
+    "packed_pipeline",     # payload winner search + streamed any-hit + XLA shade
+                           # (round-5 default for the 9.6k..1M band)
 ]
 
 #: per-entry minimum subprocess timeout (seconds) — overrides a smaller
@@ -83,6 +85,11 @@ def _build(entry: str):
         scene = scenes.get(name).build()
         cfg = RenderConfig(width=64, height=32)
         return functools.partial(pk.render_image_mega3_f32, config=cfg), (scene,)
+
+    if entry == "packed_pipeline":
+        scene = scenes.get("bunny50k").build()
+        cfg = RenderConfig(width=64, height=32)
+        return functools.partial(pk.render_image_packed_f32, config=cfg), (scene,)
 
     if entry == "chunked_pipeline":
         # the >9600-tri fallback path: (RT, CT) chunked closest hit +
